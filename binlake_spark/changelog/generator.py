@@ -1,0 +1,198 @@
+"""Deterministic synthetic change log — the binlog stand-in.
+
+Produces the envelope stream of FIXTURES.md §2: row-change events over the
+tokenized-sequence table ``docs(doc_id, tokens:array<int32>, n_tok,
+source)``, with GTID-style identity (server_uuid, gno), transaction ids,
+a strictly-increasing global ``seq`` (the flattened (binlogFile, logPos)
+total order of the reference, LogPosition.java:38-44), and the failure
+scenarios the reference exhibits:
+
+- **retransmit**: a duplicated suffix of events re-emitted with the same
+  ``seq`` — models the duplicate tail after leader failover
+  (doc/binlake-arc.md:27: position never lost, some duplicates appear).
+- **hot keys**: a configurable fraction of updates concentrated on a few
+  doc_ids — the skew case the salted compaction path must absorb.
+- **out-of-order within files**: rows are shuffled inside small windows so
+  physical file order ≠ ``seq`` order; only the logical order is trusted.
+- **evolution**: from a given seq on, ``schema_ver`` bumps and a new column
+  rides in the ``extra`` map until the engine promotes it
+  (add-column-only rule, BinlogWorker.java:1079).
+- **tokens as binary payload**: each event also carries the token array as
+  a little-endian int32 byte blob (``payload``), exercising the
+  Arrow-vectorized binlog-decode path (RowsLogBuffer analog).
+
+Everything is seeded; the same (spec, seed) always yields byte-identical
+output.  No external data.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+CHANGE_LOG_SCHEMA = (
+    "seq long, server_uuid string, gno long, trx_id long, ts timestamp,"
+    " op string, doc_id string, tokens array<int>, n_tok int, source string,"
+    " payload binary, schema_ver int, extra map<string,string>,"
+    " epoch_hint int"
+)
+
+_ARROW_SCHEMA = pa.schema(
+    [
+        ("seq", pa.int64()),
+        ("server_uuid", pa.string()),
+        ("gno", pa.int64()),
+        ("trx_id", pa.int64()),
+        ("ts", pa.timestamp("us")),
+        ("op", pa.string()),
+        ("doc_id", pa.string()),
+        ("tokens", pa.list_(pa.int32())),
+        ("n_tok", pa.int32()),
+        ("source", pa.string()),
+        ("payload", pa.binary()),
+        ("schema_ver", pa.int32()),
+        ("extra", pa.map_(pa.string(), pa.string())),
+        ("epoch_hint", pa.int32()),
+    ]
+)
+
+SOURCES = ["web", "books", "code", "wiki"]
+LANGS = ["en", "zh", "de", "fr"]
+VOCAB = 50257
+
+
+@dataclass
+class GenSpec:
+    n_docs: int = 200
+    n_events: int = 2000
+    seed: int = 42
+    n_servers: int = 2
+    events_per_epoch: int = 500
+    max_tokens: int = 64
+    # scenario knobs (FIXTURES.md §2 scenarios 1-6)
+    retransmit_frac: float = 0.0   # duplicate this tail fraction verbatim
+    hot_keys: int = 0              # this many doc_ids absorb hot_frac of events
+    hot_frac: float = 0.2
+    evolution_at: int | None = None  # seq at which schema_ver→2, extra["lang"] appears
+    shuffle_window: int = 50       # out-of-order window inside files
+    corrupt_frac: float = 0.0      # events with n_tok != len(tokens) (validation path)
+
+
+def generate_change_log(spec: GenSpec = GenSpec()) -> pd.DataFrame:
+    rng = np.random.default_rng(spec.seed)
+    n = spec.n_events
+    seq = np.arange(1, n + 1, dtype=np.int64)
+
+    # doc assignment: uniform, with optional hot set
+    docs = rng.integers(0, spec.n_docs, size=n)
+    if spec.hot_keys > 0:
+        hot_mask = rng.random(n) < spec.hot_frac
+        docs[hot_mask] = rng.integers(0, spec.hot_keys, size=int(hot_mask.sum()))
+    doc_id = np.array([f"doc{d:06d}" for d in docs])
+
+    # ops ~ 10:4:1 insert/update/delete (upsert semantics: I on existing is
+    # an update, D on missing is a no-op — matches the LWW oracle)
+    r = rng.random(n)
+    op = np.where(r < 10 / 15, "I", np.where(r < 14 / 15, "U", "D"))
+
+    # GTID identity: server by round-robin, per-server monotone gno,
+    # transactions of ~3 events (XID analog, BinlogWorker.java:953-961)
+    server_idx = (seq % spec.n_servers).astype(np.int64)
+    server_uuid = np.array(
+        [f"00000000-0000-0000-0000-{i:012d}" for i in range(spec.n_servers)]
+    )[server_idx]
+    gno = np.zeros(n, dtype=np.int64)
+    for s in range(spec.n_servers):
+        m = server_idx == s
+        gno[m] = np.arange(1, int(m.sum()) + 1)
+    trx_id = ((seq - 1) // 3 + 1).astype(np.int64)
+    ts = pd.Timestamp("2026-01-01", tz=None) + pd.to_timedelta(seq, unit="s")
+
+    # token payloads: log-normal lengths, vocab-bounded ids
+    lengths = np.clip(
+        np.exp(rng.normal(2.2, 0.8, size=n)).astype(np.int64), 1, spec.max_tokens
+    )
+    flat = rng.integers(0, VOCAB, size=int(lengths.sum()), dtype=np.int32)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    tokens = [flat[offsets[i] : offsets[i + 1]] for i in range(n)]
+    n_tok = lengths.astype(np.int32)
+    if spec.corrupt_frac > 0:
+        bad = rng.random(n) < spec.corrupt_frac
+        n_tok = np.where(bad, n_tok + 1, n_tok).astype(np.int32)
+    payload = [t.astype("<i4").tobytes() for t in tokens]
+    source = np.array(SOURCES)[rng.integers(0, len(SOURCES), size=n)]
+
+    # schema evolution: lang appears in `extra` from evolution_at on
+    schema_ver = np.ones(n, dtype=np.int32)
+    extra: list[list[tuple[str, str]]] = [[] for _ in range(n)]
+    if spec.evolution_at is not None:
+        evolved = seq >= spec.evolution_at
+        schema_ver[evolved] = 2
+        langs = np.array(LANGS)[rng.integers(0, len(LANGS), size=n)]
+        for i in np.flatnonzero(evolved):
+            extra[i] = [("lang", str(langs[i]))]
+
+    pdf = pd.DataFrame(
+        {
+            "seq": seq,
+            "server_uuid": server_uuid,
+            "gno": gno,
+            "trx_id": trx_id,
+            "ts": ts,
+            "op": op,
+            "doc_id": doc_id,
+            "tokens": tokens,
+            "n_tok": n_tok,
+            "source": source,
+            "payload": payload,
+            "schema_ver": schema_ver,
+            "extra": extra,
+        }
+    )
+
+    # retransmit tail: verbatim duplicates appended (failover replay)
+    if spec.retransmit_frac > 0:
+        k = max(1, int(n * spec.retransmit_frac))
+        pdf = pd.concat([pdf, pdf.tail(k)], ignore_index=True)
+
+    # out-of-order within shuffle windows (file order ≠ seq order)
+    if spec.shuffle_window > 1:
+        idx = np.arange(len(pdf))
+        for lo in range(0, len(pdf), spec.shuffle_window):
+            w = idx[lo : lo + spec.shuffle_window]
+            rng.shuffle(w)
+            idx[lo : lo + len(w)] = w
+        pdf = pdf.iloc[idx].reset_index(drop=True)
+
+    pdf["epoch_hint"] = (np.arange(len(pdf)) // spec.events_per_epoch).astype(np.int32)
+    return pdf
+
+
+def to_spark(spark, pdf: pd.DataFrame):
+    """Create a Spark DataFrame from a generated log (Arrow path).
+
+    ``extra`` is stored as list-of-(k, v) for the pyarrow writer; Spark's
+    Arrow createDataFrame wants dicts for map columns.
+    """
+    p = pdf.copy()
+    p["extra"] = p["extra"].map(dict)
+    return spark.createDataFrame(p, CHANGE_LOG_SCHEMA)
+
+
+def write_change_log(pdf: pd.DataFrame, out_dir: str) -> list[str]:
+    """Write one parquet file per epoch_hint, lexicographically ordered so a
+    file streaming source replays epochs deterministically."""
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for ep, grp in pdf.groupby("epoch_hint", sort=True):
+        tbl = pa.Table.from_pandas(grp.reset_index(drop=True), schema=_ARROW_SCHEMA)
+        p = os.path.join(out_dir, f"epoch-{int(ep):05d}.parquet")
+        pq.write_table(tbl, p)
+        paths.append(p)
+    return paths

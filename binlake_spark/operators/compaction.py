@@ -1,0 +1,81 @@
+"""Change-batch compaction: per-key last-writer-wins net changes.
+
+The reference guarantees per-key ordering by construction (single binlog
+reader + hash-affine producer queues, IKeyGenerator.java:42-143,
+BinlogWorker.initPartition:250-258) and leaves dedup to consumers.  Here
+ordering is data (the ``seq`` column) and compaction reduces an arbitrary
+event batch to **at most one row per key** — the winner under
+``max(seq)`` — before the MERGE, so copy-on-write cost is bounded by the
+number of *distinct* keys, not events (the packet-batching analog,
+ProtobufConverter.java:549-729).
+
+Two physical strategies, semantically identical (property-tested):
+
+- :func:`compact_lww` — built-in ``max_by`` aggregate.  Whole-stage
+  codegen, map-side partial aggregation, one shuffle on the key.  With
+  ``salt > 1`` it runs **two-stage**: partial winners per (key, salt) —
+  the salt is derived from ``seq`` so a hot key's events spread over
+  ``salt`` reducers — then the global winner per key.  ``max`` is
+  associative/commutative, so salting cannot change the result; that
+  invariance is what makes the skew fix safe (SURVEY §7 hard-point 3).
+- :func:`compact_lww_pandas` — ``applyInPandas`` per key-group, the
+  Arrow-vectorized form (kept for parity with the north star's
+  "change-batch compaction" UDF family and as an extension point for
+  semantics SQL can't express, e.g. before-image reconciliation).
+
+Retransmit duplicates (same (key, seq) re-emitted verbatim) are absorbed
+by either path: any of the identical rows may win, and they are identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def compact_lww(
+    df: DataFrame,
+    key: str = "doc_id",
+    seq_col: str = "seq",
+    salt: int | None = None,
+) -> DataFrame:
+    """Reduce an event batch to one winning row per key (LWW by seq)."""
+    payload_cols = [c for c in df.columns if c != key]
+    packed = F.struct(*[F.col(c) for c in payload_cols]).alias("_p")
+    if salt and salt > 1:
+        stage1 = (
+            df.groupBy(
+                F.col(key),
+                F.pmod(F.hash(F.col(seq_col)), F.lit(salt)).alias("_salt"),
+            )
+            .agg(F.max_by(packed, F.col(seq_col)).alias("_p"))
+        )
+        winners = stage1.groupBy(key).agg(
+            F.max_by(F.col("_p"), F.col(f"_p.{seq_col}")).alias("_p")
+        )
+    else:
+        winners = df.groupBy(key).agg(
+            F.max_by(packed, F.col(seq_col)).alias("_p")
+        )
+    return winners.select(key, "_p.*")
+
+
+def compact_lww_pandas(
+    df: DataFrame,
+    key: str = "doc_id",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Arrow-vectorized compaction: per-group pandas, no per-row Python.
+
+    Used as the semantic twin of :func:`compact_lww` in property tests and
+    as the hook where non-SQL compaction logic (e.g. before/after image
+    merging for partial-update events) would live.
+    """
+    import pandas as pd  # noqa: F401 — imported on executors
+
+    schema = df.schema
+
+    def last_writer(pdf):
+        return pdf.sort_values(seq_col, kind="stable").tail(1)
+
+    return df.groupBy(key).applyInPandas(last_writer, schema=schema)

@@ -1,0 +1,189 @@
+"""CdcEngine — the end-to-end ingest pipeline.
+
+One micro-batch (the rebuild of the reference's hot loop, SURVEY §3.2):
+
+    readStream(change-log envelope)
+      → Arrow decode + invariant validation        (operators.decode)
+      → additive schema evolution (extra → column) (LakeTable.add_columns)
+      → per-key LWW net-change compaction          (operators.compaction)
+      → bucket-pruned COW MERGE + lineage commit   (lake.merge)
+
+Exactly-once: Structured Streaming's checkpoint gives at-least-once
+delivery of each epoch to ``foreachBatch``; the LakeTable commit makes the
+apply idempotent (epoch guard + seq watermark fence), so a killed and
+resumed job replays to the identical final table — the upgrade over the
+reference's at-least-once contract (doc/binlake-arc.md:27).
+
+Schema evolution: a Structured Streaming source schema is fixed for the
+life of the query, so new columns ride the ``extra`` map in the envelope
+(SURVEY §7 hard-point 2) and are promoted to real table columns inside
+``foreachBatch``, where batch DataFrames have no such restriction.  This
+mirrors the reference's additive-only rule (BinlogWorker.java:1079).
+
+Scale posture: the only shuffle per epoch is the compaction's groupBy on
+``doc_id`` (explicit hash partitioning on the business key — the
+BUSINESS_KEY_ORDER grade, IKeyGenerator.java:48-76); with ``salt`` set the
+hot-key case becomes two shuffles of strictly decreasing size.  The MERGE
+reads only dirty buckets and broadcasts the net-change key set, so the
+existing table is never shuffled.  Backpressure = ``maxFilesPerTrigger``
+(the token-throttle analog, BinlogWorker.java:214-218).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from binlake_spark.changelog.generator import CHANGE_LOG_SCHEMA
+from binlake_spark.lake.merge import MergeResult, merge_into
+from binlake_spark.lake.table import LakeTable
+from binlake_spark.operators.compaction import compact_lww
+from binlake_spark.operators.decode import decode_and_validate
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+        T.StructField("n_tok", T.IntegerType(), True),
+        T.StructField("source", T.StringType(), True),
+    ]
+)
+
+
+class CdcEngine:
+    def __init__(
+        self,
+        table: LakeTable,
+        stream_id: str = "cdc",
+        salt: int | None = None,
+        decode_payload: bool = True,
+        promote_extra: bool = True,
+    ):
+        self.table = table
+        self.stream_id = stream_id
+        self.salt = salt
+        self.decode_payload = decode_payload
+        self.promote_extra = promote_extra
+
+    # ------------------------------------------------------------------ #
+    @classmethod
+    def create_table(
+        cls, root: str, num_buckets: int = 16, schema: T.StructType = DOCS_SCHEMA
+    ) -> LakeTable:
+        return LakeTable.create(root, schema, key_col="doc_id", num_buckets=num_buckets)
+
+    # ------------------------------------------------------------------ #
+    def apply_batch(self, batch_df: DataFrame, epoch_id: int) -> MergeResult:
+        """Apply one change-log micro-batch to the table, exactly once."""
+        spark = batch_df.sparkSession
+        df = batch_df
+
+        # 1. vectorized decode + token-invariant validation (Arrow pass)
+        if self.decode_payload and "payload" in df.columns:
+            df = decode_and_validate(df)
+
+        # 2. additive schema evolution: promote new `extra` keys to columns.
+        #    Column-pruned scan of the batch's map keys — rows with
+        #    schema_ver==1 carry an empty map, so this is cheap.
+        promoted: list[str] = []
+        if self.promote_extra and "extra" in df.columns:
+            keys = [
+                r["k"]
+                for r in df.select(
+                    F.explode(F.map_keys("extra")).alias("k")
+                ).distinct().collect()
+            ]
+            if keys:
+                self.table.add_columns([(k, "string") for k in sorted(keys)])
+                for k in sorted(keys):
+                    df = df.withColumn(k, F.col("extra")[k])
+                promoted = sorted(keys)
+
+        # 3. net-change compaction: one winner per doc_id (LWW by seq),
+        #    salted two-stage under skew.  The groupBy IS the explicit
+        #    hash partitioning on the business key.
+        table_cols = [f.name for f in self.table.schema().fields]
+        keep = ["doc_id", "seq", "op"] + [
+            c for c in table_cols if c != "doc_id" and c in df.columns
+        ]
+        net = compact_lww(df.select(*keep), key="doc_id", seq_col="seq", salt=self.salt)
+
+        # 4. idempotent COW MERGE + lineage, committed atomically
+        return merge_into(
+            spark,
+            self.table,
+            net,
+            epoch_id=int(epoch_id),
+            stream_id=self.stream_id,
+        )
+
+    # ------------------------------------------------------------------ #
+    def run_batch_replay(self, spark: SparkSession, source_dir: str) -> MergeResult:
+        """Bounded replay as a single batch (FileLogFetcher analog,
+        FileLogFetcher.java:1-158) — the correctness harness path."""
+        df = spark.read.schema(CHANGE_LOG_SCHEMA).parquet(source_dir)
+        return self.apply_batch(df, epoch_id=self.table.last_epoch(self.stream_id) + 1)
+
+    def run_stream(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        checkpoint_dir: str,
+        max_files_per_trigger: int | None = None,
+        available_now: bool = True,
+        stop_after_epochs: int | None = None,
+        timeout_s: int = 300,
+    ):
+        """Tail the change log with Structured Streaming.
+
+        ``available_now=True`` drains everything currently in the source
+        and terminates (Trigger.AvailableNow — the terminal-GTID analog,
+        BinlogWorker.java:938-945).  ``stop_after_epochs`` kills the query
+        mid-stream after N commits — the failover-injection hook used by
+        the kill/resume tests.
+        """
+        reader = spark.readStream.schema(CHANGE_LOG_SCHEMA)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+        stream = reader.parquet(source_dir)
+
+        def feb(batch_df: DataFrame, epoch_id: int):
+            self.apply_batch(batch_df, epoch_id)
+
+        writer = (
+            stream.writeStream.foreachBatch(feb)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if available_now and stop_after_epochs is None:
+            writer = writer.trigger(availableNow=True)
+        q = writer.start()
+        try:
+            if stop_after_epochs is not None:
+                deadline = time.monotonic() + timeout_s
+                while time.monotonic() < deadline:
+                    if self.table.last_epoch(self.stream_id) >= stop_after_epochs - 1:
+                        break
+                    time.sleep(0.2)
+                q.stop()
+                q.awaitTermination(timeout_s)
+            else:
+                q.awaitTermination()
+        finally:
+            if q.isActive:
+                q.stop()
+        return q
+
+    # ------------------------------------------------------------------ #
+    def read_state(self, spark: SparkSession) -> DataFrame:
+        return self.table.read(spark)
+
+    def lineage(self, spark: SparkSession) -> DataFrame:
+        return self.table.lineage_df(spark)
+
+
+def default_table_root(base: str) -> str:
+    return os.path.join(base, "docs_table")

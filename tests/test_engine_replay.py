@@ -1,0 +1,86 @@
+"""M1: end-to-end batch replay → exact token-array equality vs the oracle.
+
+This is the correctness gate of BASELINE.json input_hint: replay the
+change log, compare the engine's final table against the pandas oracle on
+exact per-doc_id token arrays, across every generator scenario.
+"""
+
+import numpy as np
+import pytest
+
+from binlake_spark.changelog import (
+    GenSpec,
+    generate_change_log,
+    oracle_final_state,
+    write_change_log,
+)
+from binlake_spark.streaming import CdcEngine
+
+
+def assert_state_equals_oracle(spark, engine, log_pdf, check_lang=False):
+    expected = oracle_final_state(log_pdf)
+    got = engine.read_state(spark).orderBy("doc_id").collect()
+    assert len(got) == len(expected), (len(got), len(expected))
+    for row, (_, ref) in zip(got, expected.iterrows()):
+        assert row.doc_id == ref.doc_id
+        assert np.array_equal(np.array(row.tokens, dtype=np.int32), ref.tokens), row.doc_id
+        assert row.n_tok == ref.n_tok
+        assert row.source == ref.source
+        if check_lang:
+            assert row.lang == (ref.lang if ref.lang is not None else None)
+
+
+SCENARIOS = {
+    "clean": GenSpec(n_docs=100, n_events=1500),
+    "retransmit": GenSpec(n_docs=100, n_events=1500, retransmit_frac=0.2),
+    "hot_key": GenSpec(n_docs=50, n_events=1500, hot_keys=3, hot_frac=0.4),
+    "delete_reinsert": GenSpec(n_docs=10, n_events=1500),  # dense ops per key
+    "multi_server": GenSpec(n_docs=100, n_events=1500, n_servers=4),
+    "corrupt": GenSpec(n_docs=80, n_events=1000, corrupt_frac=0.1),
+}
+
+
+@pytest.mark.parametrize("name", sorted(SCENARIOS))
+def test_batch_replay_matches_oracle(spark, tmp_path, name):
+    spec = SCENARIOS[name]
+    pdf = generate_change_log(spec)
+    src = str(tmp_path / "log")
+    write_change_log(pdf, src)
+    table = CdcEngine.create_table(str(tmp_path / "docs"), num_buckets=8)
+    engine = CdcEngine(table, salt=8 if name == "hot_key" else None)
+    res = engine.run_batch_replay(spark, src)
+    assert res.applied
+    assert_state_equals_oracle(spark, engine, pdf)
+
+
+def test_batch_replay_with_evolution(spark, tmp_path):
+    spec = GenSpec(n_docs=60, n_events=1200, evolution_at=600)
+    pdf = generate_change_log(spec)
+    src = str(tmp_path / "log")
+    write_change_log(pdf, src)
+    table = CdcEngine.create_table(str(tmp_path / "docs"), num_buckets=8)
+    engine = CdcEngine(table)
+    engine.run_batch_replay(spark, src)
+    assert "lang" in [f.name for f in table.schema().fields]
+    assert_state_equals_oracle(spark, engine, pdf, check_lang=True)
+
+
+def test_delete_then_reinsert_ordering(spark, tmp_path):
+    import pandas as pd
+
+    base = generate_change_log(GenSpec(n_docs=5, n_events=20))
+    # hand-crafted tombstone ordering on one key
+    extra_rows = base.iloc[:3].copy()
+    extra_rows["doc_id"] = "doc000001"
+    extra_rows["seq"] = [1000, 1001, 1002]
+    extra_rows["op"] = ["D", "I", "U"]
+    pdf = pd.concat([base, extra_rows], ignore_index=True)
+    pdf["epoch_hint"] = 0
+    src = str(tmp_path / "log")
+    write_change_log(pdf, src)
+    table = CdcEngine.create_table(str(tmp_path / "docs"), num_buckets=4)
+    engine = CdcEngine(table)
+    engine.run_batch_replay(spark, src)
+    assert_state_equals_oracle(spark, engine, pdf)
+    live = {r.doc_id for r in engine.read_state(spark).collect()}
+    assert "doc000001" in live  # reinserted after delete

@@ -1,0 +1,127 @@
+"""LakeTable: snapshots, atomic commits, schema evolution, bucket pruning."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from binlake_spark.lake import LakeTable, merge_into
+from binlake_spark.lake.table import CommitConflict
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+        T.StructField("n_tok", T.IntegerType(), True),
+        T.StructField("source", T.StringType(), True),
+    ]
+)
+
+
+def _net(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id string, seq long, op string, tokens array<int>, n_tok int, source string"
+    )
+
+
+def test_create_read_empty(spark, tmp_path):
+    t = LakeTable.create(str(tmp_path / "t"), SCHEMA, "doc_id", num_buckets=4)
+    assert t.read(spark).count() == 0
+    assert t.schema() == SCHEMA
+
+
+def test_merge_insert_update_delete(spark, tmp_path):
+    t = LakeTable.create(str(tmp_path / "t"), SCHEMA, "doc_id", num_buckets=4)
+    r1 = merge_into(
+        spark, t, _net(spark, [("a", 1, "I", [1, 2], 2, "web"), ("b", 2, "I", [3], 1, "web")]),
+        epoch_id=0,
+    )
+    assert r1.applied and r1.n_net == 2
+    assert t.read(spark).count() == 2
+
+    r2 = merge_into(
+        spark, t,
+        _net(spark, [("a", 3, "U", [9, 9, 9], 3, "web"), ("b", 4, "D", None, None, None)]),
+        epoch_id=1,
+    )
+    assert r2.applied
+    rows = {r.doc_id: r for r in t.read(spark).collect()}
+    assert set(rows) == {"a"}
+    assert rows["a"].tokens == [9, 9, 9]
+
+
+def test_epoch_idempotence_guard(spark, tmp_path):
+    t = LakeTable.create(str(tmp_path / "t"), SCHEMA, "doc_id", num_buckets=4)
+    net = _net(spark, [("a", 1, "I", [1], 1, "web")])
+    assert merge_into(spark, t, net, epoch_id=5).applied
+    v = t.snapshot()["version"]
+    replay = merge_into(spark, t, net, epoch_id=5)
+    assert not replay.applied and replay.skipped_reason == "epoch-already-applied"
+    assert t.snapshot()["version"] == v
+
+
+def test_watermark_fence_blocks_retransmit(spark, tmp_path):
+    t = LakeTable.create(str(tmp_path / "t"), SCHEMA, "doc_id", num_buckets=4)
+    merge_into(spark, t, _net(spark, [("a", 10, "U", [7], 1, "web")]), epoch_id=0)
+    # stale retransmit arrives in a LATER epoch with an OLDER seq
+    merge_into(spark, t, _net(spark, [("a", 3, "U", [1, 1], 2, "web")]), epoch_id=1)
+    rows = t.read(spark).collect()
+    assert rows[0].tokens == [7]  # old write did not clobber newer state
+
+
+def test_bucket_pruning_rewrites_only_dirty(spark, tmp_path):
+    t = LakeTable.create(str(tmp_path / "t"), SCHEMA, "doc_id", num_buckets=8)
+    rows = [(f"d{i}", i + 1, "I", [i], 1, "web") for i in range(64)]
+    merge_into(spark, t, _net(spark, rows), epoch_id=0)
+    before = t.snapshot()["files"]
+    # touch a single key → only its bucket's file list may change
+    r = merge_into(spark, t, _net(spark, [("d0", 100, "U", [99], 1, "web")]), epoch_id=1)
+    assert r.n_dirty_buckets == 1
+    after = t.snapshot()["files"]
+    changed = [b for b in after if after[b] != before.get(b)]
+    assert len(changed) == 1
+
+
+def test_schema_evolution_nulls_for_old_files(spark, tmp_path):
+    t = LakeTable.create(str(tmp_path / "t"), SCHEMA, "doc_id", num_buckets=4)
+    merge_into(spark, t, _net(spark, [("a", 1, "I", [1], 1, "web")]), epoch_id=0)
+    assert t.add_columns([("lang", "string")])
+    assert not t.add_columns([("lang", "string")])  # idempotent
+    df = t.read(spark)
+    assert "lang" in df.columns
+    assert df.filter(F.col("lang").isNull()).count() == 1
+    # new writes can populate it
+    net = spark.createDataFrame(
+        [("b", 2, "I", [2], 1, "web", "en")],
+        "doc_id string, seq long, op string, tokens array<int>, n_tok int, source string, lang string",
+    )
+    merge_into(spark, t, net, epoch_id=1)
+    rows = {r.doc_id: r.lang for r in t.read(spark).collect()}
+    assert rows == {"a": None, "b": "en"}
+
+
+def test_commit_conflict_single_winner(spark, tmp_path):
+    t = LakeTable.create(str(tmp_path / "t"), SCHEMA, "doc_id", num_buckets=4)
+    snap1 = t.snapshot()
+    snap2 = json.loads(json.dumps(snap1))
+    snap1["version"] += 1
+    snap2["version"] += 1
+    t._write_snapshot(snap1)
+    with pytest.raises(CommitConflict):
+        t._write_snapshot(snap2)
+
+
+def test_lineage_records_per_bucket(spark, tmp_path):
+    t = LakeTable.create(str(tmp_path / "t"), SCHEMA, "doc_id", num_buckets=4)
+    merge_into(
+        spark, t,
+        _net(spark, [("a", 1, "I", [1], 1, "web"), ("b", 2, "D", None, None, None)]),
+        epoch_id=0, stream_id="s1",
+    )
+    lin = t.lineage_df(spark).collect()
+    assert sum(r.n_events for r in lin) == 2
+    assert sum(r.n_deletes for r in lin) == 1
+    assert all(r.stream_id == "s1" and r.epoch_id == 0 for r in lin)
+    assert os.path.exists(os.path.join(str(tmp_path / "t"), "_meta", "CURRENT"))
