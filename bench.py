@@ -1,0 +1,132 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Measures (1) the headline metric of BASELINE.json: end-to-end change
+events/sec applied through the full CDC pipeline (generate → stream →
+decode → compact → COW MERGE → commit), and (2) wall seconds for the
+headline analytic queries at $SPARK_GRAFT_SF_DIR.
+
+    python bench.py                # default: sf0.1, local[$SPARK_GRAFT_CPUS]
+    BINLAKE_BENCH_CPUS=8 python bench.py   # override parallelism (scaling runs)
+
+The N-vs-4N scaling evidence (north rule) is produced by
+``python scale_bench.py`` which runs the same CDC replay at local[8] and
+local[32] and reports throughput + efficiency into BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("BINLAKE_BENCH_CPUS", os.environ.get("SPARK_GRAFT_CPUS", "32")))
+
+HEADLINE = [
+    "cdc_lww_state",
+    "cdc_retransmit_dedup",
+    "cdc_net_changes",
+    "tpch_q1",
+    "tpch_q3",
+    "evt_sessionization",
+    "text_quality",
+    "text_langid",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "sim_topk_dot",
+]
+
+
+def sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def run_cdc_replay(spark, sf: float, work: str, epochs: int = 8) -> dict:
+    """The headline metric: events/sec through the full exactly-once path."""
+    from binlake_spark.changelog import GenSpec, generate_change_log, write_change_log
+    from binlake_spark.streaming import CdcEngine
+
+    n_events = max(20_000, int(4_000_000 * sf))
+    spec = GenSpec(
+        n_docs=max(1_000, n_events // 25),
+        n_events=n_events,
+        events_per_epoch=max(1, n_events // epochs),
+        retransmit_frac=0.05,
+        hot_keys=5,
+        hot_frac=0.1,
+        evolution_at=n_events // 2,
+        seed=42,
+    )
+    pdf = generate_change_log(spec)
+    src = os.path.join(work, "change_log")
+    write_change_log(pdf, src)
+
+    table = CdcEngine.create_table(
+        os.path.join(work, "docs"), num_buckets=max(16, CPUS * 2)
+    )
+    engine = CdcEngine(table, salt=16)
+    t0 = time.monotonic()
+    engine.run_stream(
+        spark, src, os.path.join(work, "ckpt"), max_files_per_trigger=2
+    )
+    wall = time.monotonic() - t0
+    total = len(pdf)
+    return {
+        "events": total,
+        "wall_sec": round(wall, 3),
+        "events_per_sec": round(total / wall, 1),
+        "epochs": int(table.last_epoch("cdc")) + 1,
+        "final_rows": table.read(spark).count(),
+    }
+
+
+def main() -> int:
+    from binlake_spark.plans import QUERIES
+    from binlake_spark.session import get_spark
+
+    sf = sf_from_dir(SF_DIR)
+    spark = get_spark("binlake_bench", cpus=CPUS, shuffle_partitions=CPUS)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+
+    work = tempfile.mkdtemp(prefix="binlake_bench_")
+    try:
+        cdc = run_cdc_replay(spark, sf, work)
+
+        queries: dict[str, float] = {}
+        for name in HEADLINE:
+            fn = QUERIES[name]
+            t0 = time.monotonic()
+            fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+            queries[name] = round(time.monotonic() - t0, 3)
+
+        total = round(sum(queries.values()) + cdc["wall_sec"], 3)
+        print(
+            json.dumps(
+                {
+                    "metric": "cdc_replay_plus_headline_queries_wall",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": queries,
+                    "sf": sf,
+                    "cdc": cdc,
+                    "cpus": CPUS,
+                }
+            )
+        )
+        return 0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,718 @@
+"""Driver-contract queries: Spark implementation + DuckDB oracle per operator.
+
+Each entry demonstrates one operator family from SURVEY.md §2 (or a
+training-data-pipeline extension) over the driver's parquet tables, in a
+form whose result is **bit-comparable** between Spark and DuckDB:
+
+- money/measure aggregates go through DECIMAL so sums are exact (no
+  float summation-order drift between engines);
+- raw doubles are rounded to 4 decimals;
+- embeddings are quantized to int64 before dot products (exact);
+- hashes use md5 → first-15-hex-digits → BIGINT, portable to both
+  dialects (`conv(_,16,10)` in Spark, `('0x'||_)::BIGINT` in DuckDB);
+- every computed column is aliased identically on both sides.
+
+The CDC family treats the driver's `events` table as a change log:
+seq = event_id, doc_id = user_id, op derived from event_id % 15 with the
+generator's 10:4:1 I/U/D ratio — the same LWW/dedup/watermark semantics
+the real engine applies to the synthetic binlog, expressed over a table
+DuckDB can see too.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+Query = Callable[[SparkSession, str], DataFrame]
+QUERIES: dict[str, Query] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, sql: str | None = None):
+    def deco(fn: Query) -> Query:
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------- #
+# CDC family — events-as-changelog (LWW, dedup, watermark, txn, GTID)
+# --------------------------------------------------------------------- #
+_CHANGELOG_SQL = """
+    SELECT event_id AS seq,
+           CAST(user_id AS VARCHAR) AS doc_id,
+           CASE WHEN event_id % 15 < 10 THEN 'I'
+                WHEN event_id % 15 < 14 THEN 'U'
+                ELSE 'D' END AS op,
+           value, event_type, ts
+    FROM events
+"""
+
+
+def _changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        F.col("event_id").alias("seq"),
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.when(F.col("event_id") % 15 < 10, "I")
+        .when(F.col("event_id") % 15 < 14, "U")
+        .otherwise("D")
+        .alias("op"),
+        "value",
+        "event_type",
+        "ts",
+    )
+
+
+def _lww(df: DataFrame) -> DataFrame:
+    w = W.partitionBy("doc_id").orderBy(F.col("seq").desc())
+    return df.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+
+
+@_register(
+    "cdc_lww_state",
+    f"""
+    WITH change_log AS ({_CHANGELOG_SQL}),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+      FROM change_log
+    )
+    SELECT doc_id, seq AS last_seq, op AS last_op, round(value, 4) AS last_value
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_lww_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key last-writer-wins final state (operators/compaction.py) —
+    the groupBy-LWW the engine runs before every MERGE."""
+    out = _lww(_changelog(spark, sf_dir)).filter(F.col("op") != "D")
+    return out.select(
+        "doc_id",
+        F.col("seq").alias("last_seq"),
+        F.col("op").alias("last_op"),
+        F.round("value", 4).alias("last_value"),
+    )
+
+
+@_register(
+    "cdc_retransmit_dedup",
+    f"""
+    WITH change_log AS ({_CHANGELOG_SQL}),
+    with_dupes AS (
+      SELECT * FROM change_log
+      UNION ALL SELECT * FROM change_log WHERE seq > 8000
+    ),
+    deduped AS (SELECT DISTINCT * FROM with_dupes),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+      FROM deduped
+    )
+    SELECT doc_id, seq AS last_seq, op AS last_op, round(value, 4) AS last_value
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_retransmit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Failover duplicate-tail absorption (doc/binlake-arc.md:27): re-emit
+    the seq>8000 suffix verbatim, dedup, and land on the identical state."""
+    log = _changelog(spark, sf_dir)
+    dup = log.unionAll(log.filter(F.col("seq") > 8000)).dropDuplicates(["seq"])
+    out = _lww(dup).filter(F.col("op") != "D")
+    return out.select(
+        "doc_id",
+        F.col("seq").alias("last_seq"),
+        F.col("op").alias("last_op"),
+        F.round("value", 4).alias("last_value"),
+    )
+
+
+@_register(
+    "cdc_net_changes",
+    f"""
+    WITH change_log AS ({_CHANGELOG_SQL})
+    SELECT doc_id,
+           count(*) AS n_events,
+           sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS n_inserts,
+           sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS n_updates,
+           sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS n_deletes,
+           max(seq) AS max_seq
+    FROM change_log GROUP BY doc_id
+    """,
+)
+def cdc_net_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key change accounting — the lineage counts the MERGE commits."""
+    return (
+        _changelog(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("op") == "I").cast("long")).alias("n_inserts"),
+            F.sum((F.col("op") == "U").cast("long")).alias("n_updates"),
+            F.sum((F.col("op") == "D").cast("long")).alias("n_deletes"),
+            F.max("seq").alias("max_seq"),
+        )
+    )
+
+
+@_register(
+    "cdc_tombstones",
+    f"""
+    WITH change_log AS ({_CHANGELOG_SQL}),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+      FROM change_log
+    )
+    SELECT doc_id, seq AS tombstone_seq FROM ranked WHERE rn = 1 AND op = 'D'
+    """,
+)
+def cdc_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keys whose final event is a DELETE — rows the MERGE must erase."""
+    out = _lww(_changelog(spark, sf_dir)).filter(F.col("op") == "D")
+    return out.select("doc_id", F.col("seq").alias("tombstone_seq"))
+
+
+@_register(
+    "cdc_bucket_watermarks",
+    f"""
+    WITH change_log AS ({_CHANGELOG_SQL})
+    SELECT CAST(doc_id AS BIGINT) % 16 AS bucket,
+           max(seq) AS watermark,
+           count(*) AS n_events,
+           count(DISTINCT doc_id) AS n_docs
+    FROM change_log GROUP BY CAST(doc_id AS BIGINT) % 16
+    """,
+)
+def cdc_bucket_watermarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket applied-seq high-water marks — the retransmit fence the
+    LakeTable snapshot carries (lake/table.py watermarks)."""
+    return (
+        _changelog(spark, sf_dir)
+        .groupBy((F.col("doc_id").cast("long") % 16).alias("bucket"))
+        .agg(
+            F.max("seq").alias("watermark"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+@_register(
+    "cdc_txn_summary",
+    f"""
+    WITH change_log AS ({_CHANGELOG_SQL}),
+    trx AS (
+      SELECT CAST(floor(seq / 3) AS BIGINT) AS trx_id, count(*) AS n_events,
+             min(seq) AS first_seq, max(seq) AS last_seq
+      FROM change_log GROUP BY CAST(floor(seq / 3) AS BIGINT)
+    )
+    SELECT n_events AS events_per_trx, count(*) AS n_trx,
+           min(first_seq) AS min_seq, max(last_seq) AS max_seq
+    FROM trx GROUP BY n_events
+    """,
+)
+def cdc_txn_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction delimiting (XID analog, BinlogWorker.java:953-961):
+    group events into transactions, histogram transaction sizes."""
+    log = _changelog(spark, sf_dir)
+    trx = log.groupBy(
+        F.floor(F.col("seq") / 3).cast("long").alias("trx_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("seq").alias("first_seq"),
+        F.max("seq").alias("last_seq"),
+    )
+    return trx.groupBy(F.col("n_events").alias("events_per_trx")).agg(
+        F.count(F.lit(1)).alias("n_trx"),
+        F.min("first_seq").alias("min_seq"),
+        F.max("last_seq").alias("max_seq"),
+    )
+
+
+@_register(
+    "cdc_gtid_islands",
+    f"""
+    WITH change_log AS ({_CHANGELOG_SQL}),
+    present AS (
+      SELECT seq % 4 AS server_id, CAST(floor(seq / 4) AS BIGINT) AS gno
+      FROM change_log WHERE value > 50
+    ),
+    isl AS (
+      SELECT server_id, gno,
+             gno - row_number() OVER (PARTITION BY server_id ORDER BY gno) AS grp
+      FROM present
+    )
+    SELECT server_id, count(*) AS n_gtids, count(DISTINCT grp) AS n_intervals,
+           min(gno) AS min_gno, max(gno) AS max_gno
+    FROM isl GROUP BY server_id
+    """,
+)
+def cdc_gtid_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GTID interval-set construction (GTID.java:39-66): collapse each
+    server's executed gno set into closed intervals (gaps-and-islands)."""
+    log = _changelog(spark, sf_dir)
+    present = log.filter(F.col("value") > 50).select(
+        (F.col("seq") % 4).alias("server_id"),
+        F.floor(F.col("seq") / 4).cast("long").alias("gno"),
+    )
+    w = W.partitionBy("server_id").orderBy("gno")
+    isl = present.withColumn("grp", F.col("gno") - F.row_number().over(w))
+    return isl.groupBy("server_id").agg(
+        F.count(F.lit(1)).alias("n_gtids"),
+        F.countDistinct("grp").alias("n_intervals"),
+        F.min("gno").alias("min_gno"),
+        F.max("gno").alias("max_gno"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# Streaming analytics on events
+# --------------------------------------------------------------------- #
+@_register(
+    "evt_sessionization",
+    """
+    WITH gaps AS (
+      SELECT user_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL THEN 1
+                  WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id)) > 1800 THEN 1
+                  ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    FROM gaps GROUP BY user_id
+    """,
+)
+def evt_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag-gap > 30 min (windowed, no UDF)."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull(), 1)
+        .when(
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800, 1
+        )
+        .otherwise(0),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@_register(
+    "evt_hourly_rollup",
+    """
+    SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY strftime(ts, '%Y-%m-%d %H'), event_type
+    """,
+)
+def evt_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup (streaming windowed-agg analog, batch form).
+    DECIMAL sum → engine-exact totals."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_format("ts", "yyyy-MM-dd HH").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# Analytic joins/aggregations (TPC-H-style; bench headliners)
+# --------------------------------------------------------------------- #
+@_register(
+    "tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,2))) *
+                    (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(d("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(d("l_extendedprice") * (1 - d("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(d("l_extendedprice") * (1 - d("l_discount")) * (1 + d("l_tax")))
+            .cast("double")
+            .alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "tpch_q3",
+    """
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join: broadcast the filtered dimension sides (customer is tiny
+    relative to lineitem at every SF — Catalyst/AQE would pick this too;
+    the hint pins it)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    d = lambda col: F.col(col).cast("decimal(18,2)")  # noqa: E731
+    joined = li.join(
+        F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    return (
+        joined.groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.sum(d("l_extendedprice") * (1 - d("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------- #
+# Text analysis (documents)
+# --------------------------------------------------------------------- #
+@_register(
+    "text_token_count",
+    """
+    SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+           length(text) AS n_chars_calc, n_chars
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_words"),
+        F.length("text").alias("n_chars_calc"),
+        "n_chars",
+    )
+
+
+def _occ_sql(pat: str) -> str:
+    return f"(length(text) - length(replace(text, '{pat}', ''))) / {len(pat)}"
+
+
+@_register(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_words,
+           round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4) AS avg_word_len,
+           CAST({_occ_sql(' the ')} AS BIGINT) AS n_stopword_the,
+           length(text) - length(regexp_replace(text, '[.,!?;]', '', 'g')) AS n_punct
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/word/punct/stopword signals, all JVM built-ins."""
+    d = _t(spark, sf_dir, "documents")
+    occ = (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" the ")))) / 5
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_words"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "))).cast("double")
+            / F.size(F.split("text", " ")),
+            4,
+        ).alias("avg_word_len"),
+        occ.cast("long").alias("n_stopword_the"),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", "[.,!?;]", ""))
+        ).alias("n_punct"),
+    )
+
+
+_LANG_MARKERS = {"en": [" the ", " and "], "de": [" der ", " und "], "fr": [" le ", " et "]}
+
+
+@_register(
+    "text_langid",
+    f"""
+    WITH scores AS (
+      SELECT doc_id, lang,
+             {_occ_sql(' the ')} + {_occ_sql(' and ')} AS s_en,
+             {_occ_sql(' der ')} + {_occ_sql(' und ')} AS s_de,
+             {_occ_sql(' le ')} + {_occ_sql(' et ')} AS s_fr
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(s_en AS BIGINT) AS s_en, CAST(s_de AS BIGINT) AS s_de,
+           CAST(s_fr AS BIGINT) AS s_fr,
+           CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+                WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS predicted_lang
+    FROM scores
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-marker counts per language."""
+    d = _t(spark, sf_dir, "documents")
+
+    def occ(pat: str):
+        return (F.length("text") - F.length(F.replace(F.col("text"), F.lit(pat)))) / len(pat)
+
+    s_en = (occ(" the ") + occ(" and ")).alias("s_en")
+    s_de = (occ(" der ") + occ(" und ")).alias("s_de")
+    s_fr = (occ(" le ") + occ(" et ")).alias("s_fr")
+    scored = d.select("doc_id", "lang", s_en, s_de, s_fr)
+    return scored.select(
+        "doc_id",
+        "lang",
+        F.col("s_en").cast("long").alias("s_en"),
+        F.col("s_de").cast("long").alias("s_de"),
+        F.col("s_fr").cast("long").alias("s_fr"),
+        F.when(
+            (F.col("s_en") >= F.col("s_de")) & (F.col("s_en") >= F.col("s_fr")), "en"
+        )
+        .when(F.col("s_de") >= F.col("s_fr"), "de")
+        .otherwise("fr")
+        .alias("predicted_lang"),
+    )
+
+
+@_register(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: 60-bit md5 prefix as BIGINT (portable hash)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("fingerprint"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# Deduplication (documents)
+# --------------------------------------------------------------------- #
+_CLONES_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents
+"""
+
+
+def _clones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.unionAll(d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+
+
+@_register(
+    "dedup_exact",
+    f"""
+    WITH docs2 AS ({_CLONES_SQL})
+    SELECT min(doc_id) AS keep_id, count(*) AS n_dupes,
+           CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS content_hash
+    FROM docs2 GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, keep the smallest id.  Input is
+    the corpus unioned with itself under shifted ids so every text has a
+    known duplicate."""
+    return (
+        _clones(spark, sf_dir)
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dupes"))
+        .select(
+            "keep_id",
+            "n_dupes",
+            F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("content_hash"),
+        )
+    )
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH docs2 AS ({_CLONES_SQL}),
+    words AS (
+      SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+             unnest(string_split(text, ' ')) AS w
+      FROM docs2
+    ),
+    grams AS (
+      SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+      FROM words a
+      JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      JOIN words c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+      FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) AS jaccard
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: word-3-gram Jaccard ≥ 0.8 over candidate pairs
+    sharing a gram (posting-list self-join — the same inverted-index shape
+    MinHash-LSH banding produces, here exact)."""
+    docs2 = _clones(spark, sf_dir)
+    grams = (
+        docs2.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, greatest(size(split(text, ' ')) - 3, -1)),"
+                    " i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    cnt = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    g2 = grams.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("g"))
+    inter = (
+        grams.join(g2, (grams.g == g2.g) & (grams.doc_id < g2.doc_b))
+        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    j = (
+        inter.join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
+        .withColumn(
+            "jacc_raw", F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+        )
+        .filter(F.col("jacc_raw") >= 0.8)
+    )
+    return j.select("doc_a", "doc_b", F.round("jacc_raw", 4).alias("jaccard"))
+
+
+# --------------------------------------------------------------------- #
+# Similarity search (embeddings)
+# --------------------------------------------------------------------- #
+@_register(
+    "sim_topk_dot",
+    """
+    WITH q AS (
+      SELECT list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+      FROM embeddings WHERE vec_id = 0
+    ),
+    e AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS ee
+      FROM embeddings
+    )
+    SELECT vec_id, label, CAST(list_dot_product(ee, qe) AS BIGINT) AS dot_q
+    FROM e, q
+    ORDER BY dot_q DESC, vec_id LIMIT 10
+    """,
+)
+def sim_topk_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k similarity against a query vector, with embeddings
+    quantized to int64 (×1000) so scores are engine-exact.  The query side
+    is a broadcast cross join — no collect, no driver loop."""
+    e = _t(spark, sf_dir, "embeddings")
+    quant = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000).cast("long"),
+    )
+    q = e.filter(F.col("vec_id") == 0).select(quant.alias("qe"))
+    ee = e.select("vec_id", "label", quant.alias("ee"))
+    dot = F.aggregate(
+        F.zip_with(F.col("ee"), F.col("qe"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        ee.crossJoin(F.broadcast(q))
+        .select("vec_id", "label", dot.alias("dot_q"))
+        .orderBy(F.col("dot_q").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------- #
+# Multimodal plumbing (binary payload stats)
+# --------------------------------------------------------------------- #
+@_register(
+    "mm_payload_stats",
+    """
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes, length(text) AS n_codepoints,
+           substr(md5(substr(text, 1, 64)), 1, 8) AS head_sig
+    FROM documents
+    """,
+)
+def mm_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-payload metadata pass (the typed-metadata half of the
+    multimodal column story; the decode half is operators/multimodal.py)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.octet_length("text").alias("n_bytes"),
+        F.length("text").alias("n_codepoints"),
+        F.substring(F.md5(F.substring("text", 1, 64)), 1, 8).alias("head_sig"),
+    )

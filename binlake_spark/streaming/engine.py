@@ -78,48 +78,75 @@ class CdcEngine:
 
     # ------------------------------------------------------------------ #
     def apply_batch(self, batch_df: DataFrame, epoch_id: int) -> MergeResult:
-        """Apply one change-log micro-batch to the table, exactly once."""
+        """Apply one change-log micro-batch to the table, exactly once.
+
+        Operator order is chosen for scale: validation is a JVM predicate
+        (`octet_length(payload) == 4*n_tok` — codegen, pushed at the scan),
+        compaction runs on the *raw* payload bytes, and the Arrow decode
+        pass only ever sees the |distinct keys| winning rows — per-row
+        Python work is proportional to keys, not events.  At 10^10 events
+        with ~10^7 live keys that is a 1000× cut of the Python boundary.
+        """
         spark = batch_df.sparkSession
         df = batch_df
+        has_payload = self.decode_payload and "payload" in df.columns
 
-        # 1. vectorized decode + token-invariant validation (Arrow pass)
-        if self.decode_payload and "payload" in df.columns:
-            df = decode_and_validate(df)
+        # 1. column pruning + vectorized validation (the event-type filter
+        #    + token-invariant check, all whole-stage-codegen JVM)
+        keep = ["doc_id", "seq", "op", "n_tok", "source"]
+        if has_payload:
+            keep.append("payload")
+        elif "tokens" in df.columns:
+            keep.append("tokens")
+        if "extra" in df.columns:
+            keep.append("extra")
+        df = df.select(*[c for c in keep if c in df.columns])
+        df = df.filter(F.col("op").isin("I", "U", "D"))
+        if has_payload:
+            df = df.filter(F.octet_length("payload") == F.col("n_tok") * 4)
+        elif "tokens" in df.columns:
+            df = df.filter(F.size("tokens") == F.col("n_tok"))
 
-        # 2. additive schema evolution: promote new `extra` keys to columns.
-        #    Column-pruned scan of the batch's map keys — rows with
-        #    schema_ver==1 carry an empty map, so this is cheap.
-        promoted: list[str] = []
-        if self.promote_extra and "extra" in df.columns:
-            keys = [
-                r["k"]
-                for r in df.select(
-                    F.explode(F.map_keys("extra")).alias("k")
-                ).distinct().collect()
-            ]
-            if keys:
-                self.table.add_columns([(k, "string") for k in sorted(keys)])
-                for k in sorted(keys):
-                    df = df.withColumn(k, F.col("extra")[k])
-                promoted = sorted(keys)
+        # 2. net-change compaction FIRST: one winner per doc_id (LWW by
+        #    seq), salted two-stage under skew.  The groupBy IS the
+        #    explicit hash partitioning on the business key.
+        net = compact_lww(df, key="doc_id", seq_col="seq", salt=self.salt)
 
-        # 3. net-change compaction: one winner per doc_id (LWW by seq),
-        #    salted two-stage under skew.  The groupBy IS the explicit
-        #    hash partitioning on the business key.
-        table_cols = [f.name for f in self.table.schema().fields]
-        keep = ["doc_id", "seq", "op"] + [
-            c for c in table_cols if c != "doc_id" and c in df.columns
-        ]
-        net = compact_lww(df.select(*keep), key="doc_id", seq_col="seq", salt=self.salt)
+        # 3. Arrow decode on winners only: payload bytes → array<int32>
+        if has_payload:
+            net = decode_and_validate(net)
 
-        # 4. idempotent COW MERGE + lineage, committed atomically
-        return merge_into(
-            spark,
-            self.table,
-            net,
-            epoch_id=int(epoch_id),
-            stream_id=self.stream_id,
-        )
+        # 4. additive schema evolution on winners: promote new `extra`
+        #    keys to real columns (add-column-only, BinlogWorker.java:1079).
+        #    net is persisted so the key-detection scan and the merge share
+        #    one computation of the compaction pipeline.
+        cached = None
+        try:
+            if self.promote_extra and "extra" in net.columns:
+                net = cached = net.persist()
+                keys = [
+                    r["k"]
+                    for r in net.select(
+                        F.explode(F.map_keys("extra")).alias("k")
+                    ).distinct().collect()
+                ]
+                if keys:
+                    self.table.add_columns([(k, "string") for k in sorted(keys)])
+                    for k in sorted(keys):
+                        net = net.withColumn(k, F.col("extra")[k])
+                net = net.drop("extra")
+
+            # 5. idempotent COW MERGE + lineage, committed atomically
+            return merge_into(
+                spark,
+                self.table,
+                net,
+                epoch_id=int(epoch_id),
+                stream_id=self.stream_id,
+            )
+        finally:
+            if cached is not None:
+                cached.unpersist()
 
     # ------------------------------------------------------------------ #
     def run_batch_replay(self, spark: SparkSession, source_dir: str) -> MergeResult:

@@ -1,0 +1,65 @@
+"""Mimic the driver's correctness gate: every queries() entry vs its
+DuckDB oracle at sf0.01 — row count, schema (column names), and exact
+values after column-name sort + row sort."""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _norm(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), kind="stable").reset_index(drop=True)
+    return df
+
+
+def _cmp_cell(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) or isinstance(b, float):
+        fa, fb = float(a), float(b)
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return fa == fb
+    return a == b
+
+
+NAMES = sorted(entry_mod.oracle_sql())
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_query_matches_oracle(spark, ddb, name):
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+    got = _norm(q(spark, SF_DIR).toPandas())
+    exp = _norm(ddb.sql(sql).df())
+    assert list(got.columns) == list(exp.columns), (list(got.columns), list(exp.columns))
+    assert len(got) == len(exp), (len(got), len(exp))
+    for col in got.columns:
+        ga, ea = got[col].tolist(), exp[col].tolist()
+        bad = [
+            (i, x, y) for i, (x, y) in enumerate(zip(ga, ea)) if not _cmp_cell(x, y)
+        ]
+        assert not bad, f"{name}.{col}: first mismatches {bad[:5]}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
