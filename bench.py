@@ -55,7 +55,10 @@ def run_cdc_replay(spark, sf: float, work: str, epochs: int = 8) -> dict:
     from binlake_spark.changelog import GenSpec, generate_change_log, write_change_log
     from binlake_spark.streaming import CdcEngine
 
-    n_events = max(20_000, int(4_000_000 * sf))
+    n_events = int(
+        os.environ.get("BINLAKE_BENCH_EVENTS", max(20_000, int(4_000_000 * sf)))
+    )
+    epochs = int(os.environ.get("BINLAKE_BENCH_EPOCHS", epochs))
     spec = GenSpec(
         n_docs=max(1_000, n_events // 25),
         n_events=n_events,
@@ -68,12 +71,24 @@ def run_cdc_replay(spark, sf: float, work: str, epochs: int = 8) -> dict:
     )
     pdf = generate_change_log(spec)
     src = os.path.join(work, "change_log")
-    write_change_log(pdf, src)
+    files = write_change_log(pdf, src)
 
-    table = CdcEngine.create_table(
-        os.path.join(work, "docs"), num_buckets=max(16, CPUS * 2)
-    )
-    engine = CdcEngine(table, salt=16)
+    # size scan splits so every core has work each epoch: split ≈
+    # epoch_bytes / 2·cores, clamped to [4 MiB, 128 MiB] (the local stand-in
+    # for tuning maxPartitionBytes to the cluster; at 1000 executors the
+    # default 128 MiB is right because epochs are TBs)
+    epoch_bytes = sum(os.path.getsize(f) for f in files) / max(1, len(files))
+    split = int(min(max(epoch_bytes // (2 * CPUS), 4 << 20), 128 << 20))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+
+    # bucket count models the TABLE layout, not the local core count — it
+    # must be identical across cluster sizes for a fair scaling comparison
+    num_buckets = int(os.environ.get("BINLAKE_BENCH_BUCKETS", "32"))
+    table = CdcEngine.create_table(os.path.join(work, "docs"), num_buckets=num_buckets)
+    # salt off: max_by's map-side partial aggregation absorbs the generated
+    # hot-key skew; the salted two-stage path is covered by tests and kept
+    # for adversarial skew (see CdcEngine docstring)
+    engine = CdcEngine(table, salt=None)
     t0 = time.monotonic()
     engine.run_stream(
         spark, src, os.path.join(work, "ckpt"), max_files_per_trigger=2
@@ -102,7 +117,8 @@ def main() -> int:
         cdc = run_cdc_replay(spark, sf, work)
 
         queries: dict[str, float] = {}
-        for name in HEADLINE:
+        headline = [] if os.environ.get("BINLAKE_BENCH_MODE") == "cdc" else HEADLINE
+        for name in headline:
             fn = QUERIES[name]
             t0 = time.monotonic()
             fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()

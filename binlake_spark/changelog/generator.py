@@ -185,14 +185,21 @@ def to_spark(spark, pdf: pd.DataFrame):
     return spark.createDataFrame(p, CHANGE_LOG_SCHEMA)
 
 
-def write_change_log(pdf: pd.DataFrame, out_dir: str) -> list[str]:
+def write_change_log(
+    pdf: pd.DataFrame, out_dir: str, row_group_size: int = 32_768
+) -> list[str]:
     """Write one parquet file per epoch_hint, lexicographically ordered so a
-    file streaming source replays epochs deterministically."""
+    file streaming source replays epochs deterministically.
+
+    Small row groups matter: Spark's scan parallelism splits files at
+    row-group boundaries (spark.sql.files.maxPartitionBytes), so a single
+    monolithic row group would serialize the scan + map-side combine of a
+    whole epoch onto one task regardless of cluster size."""
     os.makedirs(out_dir, exist_ok=True)
     paths = []
     for ep, grp in pdf.groupby("epoch_hint", sort=True):
         tbl = pa.Table.from_pandas(grp.reset_index(drop=True), schema=_ARROW_SCHEMA)
         p = os.path.join(out_dir, f"epoch-{int(ep):05d}.parquet")
-        pq.write_table(tbl, p)
+        pq.write_table(tbl, p, row_group_size=row_group_size)
         paths.append(p)
     return paths

@@ -1,11 +1,11 @@
 """Bucket-pruned copy-on-write MERGE INTO for :class:`LakeTable`.
 
-Semantics (the Iceberg ``MERGE INTO`` the north rule names, built from
-scratch on DataFrame ops):
+Semantics — the Iceberg ``MERGE INTO`` the north rule names, built from
+scratch on DataFrame ops, with per-row LWW versioning:
 
     MERGE INTO target t USING net s ON t.<key> = s.<key>
-    WHEN MATCHED AND s.op = 'D' THEN DELETE
-    WHEN MATCHED              THEN UPDATE SET *
+    WHEN MATCHED AND s.seq > t._seq AND s.op  = 'D' THEN DELETE
+    WHEN MATCHED AND s.seq > t._seq AND s.op != 'D' THEN UPDATE SET *
     WHEN NOT MATCHED AND s.op != 'D' THEN INSERT *
 
 ``net`` must be *net changes*: at most one row per key (the output of
@@ -15,27 +15,47 @@ the merge is the analog of the reference's packet batching
 sees ≤ |keys| rows regardless of how many raw events the batch carried,
 which bounds copy-on-write amplification at 10^10-event scale.
 
-Exactly-once is layered:
+Exactly-once / duplicate handling is layered:
 
 1. **Epoch guard** — a foreachBatch epoch replayed after a crash is
    detected via the ``epochs`` map committed in the same snapshot as the
-   data, and skipped.  (Reference parity: consumers dedup by GTID after an
-   at-least-once failover, doc/binlake-arc.md:27 — we move the dedup into
-   the committed sink so the guarantee is exactly-once.)
-2. **Watermark fence** — events with ``seq`` ≤ the bucket's applied
-   high-water mark are dropped, so a retransmitted tail (the reference's
-   duplicate window after leader failover) is a no-op even across epochs.
-   The fence is a broadcast join against ≤ num_buckets rows — no per-key
-   state is kept anywhere (SURVEY §7 M3).
-3. **Idempotent body** — even if both guards were bypassed, re-merging the
-   same net change is a keyed upsert that converges to the same state.
+   data, and skipped.
+2. **Per-row LWW (`_seq`)** — every row stores the seq of the event that
+   wrote it; an incoming winner applies only if its seq is strictly
+   newer.  Re-merging any already-applied change is therefore a no-op
+   even if the epoch guard is bypassed, and a stale retransmit can never
+   clobber newer state.  (Reference parity: consumers dedup by GTID
+   compare after an at-least-once failover, doc/binlake-arc.md:27 — we
+   move that compare into the sink, making it exactly-once.)
+3. **Optional per-bucket seq fence** (``enforce_watermark=True``) — drops
+   whole retransmitted prefixes before the join.  Only valid when the
+   source guarantees bucket-monotone seqs across epochs (true for a
+   binlog replayed in commit order); off by default because a fresh
+   out-of-order event with a seq below another doc's watermark would be
+   wrongly fenced.
 
-Physical plan at scale: the anti-join of survivors against net-changes
-runs with the *net* side broadcast when small (a micro-batch of net
-changes usually is), so the scan of the k dirty buckets is a single
-map-side pass — no shuffle of the existing table.  The rewrite is
-repartitioned on the bucket id so each output directory is written by one
-task (one file per bucket per commit, Iceberg-style).
+Tombstone contract: deletes drop the row *and* its version; a later
+replay is safe because failover replays are **suffix replays** (resume
+from a committed position, the only failure mode of the reference and of
+Structured Streaming checkpoints) and per-epoch compaction re-picks the
+same-or-newer winner from the suffix.  Arbitrary replay of ancient
+individual events would need tombstone retention (Iceberg
+equality-delete retention analog) — out of contract, as in the reference.
+
+Physical execution — ONE Spark job per merge plus metadata-only work,
+the shape that survives 100×:
+
+- job A: ``dirty buckets`` = distinct bucket ids of the (persisted,
+  compacted) net side — tiny.
+- job B: the rewrite.  Survivors and stale-key filtering are joins of the
+  dirty-bucket scan against the net side; AQE picks broadcast vs
+  sort-merge by actual size (no forced broadcast: net is a whole epoch's
+  key set and may be large at scale).  Epoch-level op counts ride on a
+  ``Observation`` attached to the applied branch — measured during the
+  write, zero extra passes.
+- per-bucket offsets (row counts + max ``_seq``) come from the parquet
+  footers of the files just written — driver-side metadata reads, the
+  same trick as Iceberg's manifest column stats.  No stats job.
 """
 
 from __future__ import annotations
@@ -45,7 +65,8 @@ import os
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -64,6 +85,18 @@ class MergeResult:
     partitions: list[dict] = field(default_factory=list)
 
 
+def _footer_stats(path: str, seq_field: str = "_seq") -> tuple[int, int]:
+    """(num_rows, max _seq) from parquet footer metadata — no data read."""
+    md = pq.read_metadata(path)
+    idx = md.schema.to_arrow_schema().get_field_index(seq_field)
+    mx = -1
+    for rg in range(md.num_row_groups):
+        col = md.row_group(rg).column(idx)
+        if col.statistics is not None and col.statistics.has_min_max:
+            mx = max(mx, int(col.statistics.max))
+    return md.num_rows, mx
+
+
 def merge_into(
     spark: SparkSession,
     table: LakeTable,
@@ -73,8 +106,7 @@ def merge_into(
     stream_id: str = "default",
     seq_col: str = "seq",
     op_col: str = "op",
-    enforce_watermark: bool = True,
-    broadcast_net: bool | None = None,
+    enforce_watermark: bool = False,
 ) -> MergeResult:
     """Apply one compacted change batch to the table, exactly once."""
     t0 = time.monotonic()
@@ -92,7 +124,7 @@ def merge_into(
         "_bucket", F.pmod(F.hash(F.col(key)), F.lit(num_buckets)).cast("int")
     )
 
-    # -- 2. retransmit fence: drop seq <= applied watermark -------------- #
+    # -- 2. optional retransmit fence (bucket-monotone sources only) ----- #
     if enforce_watermark and snap["watermarks"]:
         wm = table.watermarks_df(spark)
         net = (
@@ -103,20 +135,13 @@ def merge_into(
 
     net = net.persist()
     try:
-        # per-bucket lineage stats — one row per dirty bucket, tiny collect
-        stats = (
-            net.groupBy("_bucket")
-            .agg(
-                F.max(seq_col).alias("max_seq"),
-                F.count(F.lit(1)).alias("n_events"),
-                F.sum((F.col(op_col) != "D").cast("long")).alias("n_upserts"),
-                F.sum((F.col(op_col) == "D").cast("long")).alias("n_deletes"),
-            )
-            .collect()
+        # job A: which buckets does this epoch touch?
+        dirty = sorted(
+            int(r["_bucket"]) for r in net.select("_bucket").distinct().collect()
         )
-        if not stats:
-            # nothing survived the fence: still commit the epoch marker so
-            # a replay of this epoch stays a no-op.
+        if not dirty:
+            # nothing to apply: still commit the epoch marker so a replay
+            # of this epoch stays a no-op.
             snap["version"] += 1
             snap["epochs"][stream_id] = epoch_id
             snap["lineage"].append(
@@ -126,6 +151,9 @@ def merge_into(
                     "epoch_id": epoch_id,
                     "version": snap["version"],
                     "wall_ms": int((time.monotonic() - t0) * 1000),
+                    "n_events": 0,
+                    "n_upserts": 0,
+                    "n_deletes": 0,
                     "partitions": [],
                 }
             )
@@ -134,33 +162,48 @@ def merge_into(
                 applied=True,
                 epoch_id=epoch_id,
                 version=snap["version"],
-                skipped_reason="empty-after-fence",
+                skipped_reason="empty-batch",
             )
 
-        dirty = sorted(int(r["_bucket"]) for r in stats)
-        n_net = sum(int(r["n_events"]) for r in stats)
-
-        # -- 3. merge body: survivors ∪ upserts, dirty buckets only ------ #
+        # -- 3. merge body: one job over dirty buckets only --------------- #
         schema = T.StructType.fromJson(snap["schema"])
-        cols = [f.name for f in schema.fields]
-        current = table.read(spark, buckets=dirty)
+        current = table.read(spark, buckets=dirty, with_seq=True)
+        cur_seq = F.coalesce(F.col("_seq"), F.lit(-1))
+        net_small = net.select(key, F.col(seq_col).alias("_in_seq"))
 
-        net_keyed = net.select(key, "_bucket", seq_col, op_col, *[
-            c for c in cols if c != key and c in net.columns
-        ])
-        anti_side = net_keyed.select(key)
-        if broadcast_net or broadcast_net is None:
-            anti_side = F.broadcast(anti_side)
-        survivors = current.join(anti_side, key, "left_anti")
+        # existing rows that survive: no incoming row, or incoming is
+        # stale/equal (LWW keeps the newer version)
+        survivors = (
+            current.join(net_small, key, "left")
+            .filter(F.col("_in_seq").isNull() | (F.col("_in_seq") <= cur_seq))
+            .drop("_in_seq")
+        )
+        # incoming winners beaten by the existing row
+        stale_keys = (
+            current.select(key, "_seq")
+            .join(net_small, key, "inner")
+            .filter(cur_seq >= F.col("_in_seq"))
+            .select(key)
+        )
+        applied = net.join(stale_keys, key, "left_anti")
 
-        upserts = net_keyed.filter(F.col(op_col) != "D")
+        obs = Observation(f"merge-{stream_id}-{epoch_id}")
+        applied = applied.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col(op_col) != "D").cast("long")).alias("n_upserts"),
+            F.sum((F.col(op_col) == "D").cast("long")).alias("n_deletes"),
+            F.max(seq_col).alias("max_seq"),
+        )
+        upserts = applied.filter(F.col(op_col) != "D")
         aligned = upserts.select(
             *[
-                F.col(f.name).cast(f.dataType)
+                F.col(f.name).cast(f.dataType).alias(f.name)
                 if f.name in upserts.columns
                 else F.lit(None).cast(f.dataType).alias(f.name)
                 for f in schema.fields
-            ]
+            ],
+            F.col(seq_col).cast("long").alias("_seq"),
         )
         merged = survivors.unionByName(aligned).withColumn(
             "_b", F.pmod(F.hash(F.col(key)), F.lit(num_buckets)).cast("int")
@@ -175,15 +218,23 @@ def merge_into(
             .partitionBy("_b")
             .parquet(out_dir)
         )
+        metrics = obs.get
+        n_net = int(metrics["n_events"] or 0)
 
-        # -- 4. publish the snapshot ------------------------------------- #
+        # -- 4. per-bucket offsets from parquet footers (metadata only) --- #
         new_files: dict[int, list[str]] = {}
+        partitions: list[dict] = []
         for b in dirty:
             bucket_dir = os.path.join(out_dir, f"_b={b}")
-            new_files[b] = [
-                os.path.relpath(p, table.root)
-                for p in sorted(glob.glob(os.path.join(bucket_dir, "*.parquet")))
-            ]
+            paths = sorted(glob.glob(os.path.join(bucket_dir, "*.parquet")))
+            new_files[b] = [os.path.relpath(p, table.root) for p in paths]
+            n_rows, max_seq = 0, -1
+            for p in paths:
+                nr, mx = _footer_stats(p)
+                n_rows += nr
+                max_seq = max(max_seq, mx)
+            partitions.append({"bucket": b, "n_rows": n_rows, "max_seq": max_seq})
+
         files = {int(b): fl for b, fl in snap["files"].items()}
         for b in dirty:
             fl = new_files.get(b, [])
@@ -192,21 +243,16 @@ def merge_into(
             else:
                 files.pop(b, None)  # bucket fully deleted
         watermarks = {int(b): int(w) for b, w in snap["watermarks"].items()}
-        for r in stats:
-            b = int(r["_bucket"])
-            watermarks[b] = max(watermarks.get(b, -1), int(r["max_seq"]))
+        # file-footer max covers surviving rows; a delete can remove a
+        # bucket's max row, so the epoch-level applied max advances every
+        # touched bucket's fence conservatively
+        epoch_max = int(metrics["max_seq"] or -1)
+        for p in partitions:
+            watermarks[p["bucket"]] = max(
+                watermarks.get(p["bucket"], -1), p["max_seq"], epoch_max
+            )
 
         wall_ms = int((time.monotonic() - t0) * 1000)
-        partitions = [
-            {
-                "bucket": int(r["_bucket"]),
-                "max_seq": int(r["max_seq"]),
-                "n_events": int(r["n_events"]),
-                "n_upserts": int(r["n_upserts"]),
-                "n_deletes": int(r["n_deletes"]),
-            }
-            for r in stats
-        ]
         snap["version"] = version
         snap["files"] = {str(b): fl for b, fl in sorted(files.items())}
         snap["watermarks"] = {str(b): w for b, w in sorted(watermarks.items())}
@@ -218,6 +264,9 @@ def merge_into(
                 "epoch_id": epoch_id,
                 "version": version,
                 "wall_ms": wall_ms,
+                "n_events": n_net,
+                "n_upserts": int(metrics["n_upserts"] or 0),
+                "n_deletes": int(metrics["n_deletes"] or 0),
                 "partitions": partitions,
             }
         )

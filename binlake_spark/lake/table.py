@@ -179,17 +179,26 @@ class LakeTable:
     # read path
     # ------------------------------------------------------------------ #
     def read(
-        self, spark: SparkSession, buckets: list[int] | None = None
+        self,
+        spark: SparkSession,
+        buckets: list[int] | None = None,
+        with_seq: bool = False,
     ) -> DataFrame:
         """Read the current snapshot, pruned to ``buckets`` if given.
 
         Bucket pruning is the scan-side half of copy-on-write MERGE: a
         batch touching k buckets scans k/B of the table.  The snapshot
         schema is passed explicitly so files written before an ALTER
-        surface the new columns as NULL.
+        surface the new columns as NULL.  ``with_seq`` additionally
+        exposes the system column ``_seq`` (the seq of the event that last
+        wrote each row — the per-row LWW version the MERGE compares
+        against; the GTID-per-row analog of the reference's consumer-side
+        dedup).
         """
         snap = self.snapshot()
         schema = T.StructType.fromJson(snap["schema"])
+        if with_seq:
+            schema = schema.add(T.StructField("_seq", T.LongType(), True))
         files: list[str] = []
         for b, fl in snap["files"].items():
             if buckets is None or int(b) in buckets:
@@ -213,29 +222,49 @@ class LakeTable:
         return spark.createDataFrame(rows, schema)
 
     def lineage_df(self, spark: SparkSession) -> DataFrame:
-        """Per-(epoch, bucket) lineage/metrics as a DataFrame — the analog
-        of the reference's stage-delay monitor (PerformanceUtils.java:13-45)
-        plus its position checkpoint contents."""
+        """Per-epoch lineage/metrics — the analog of the reference's
+        stage-delay monitor (PerformanceUtils.java:13-45) plus its position
+        checkpoint contents.  Per-bucket offsets: :meth:`bucket_offsets_df`."""
+        rows = [
+            (
+                e.get("stream_id"),
+                int(e.get("epoch_id", -1)),
+                int(e.get("version", -1)),
+                int(e.get("n_events", 0)),
+                int(e.get("n_upserts", 0)),
+                int(e.get("n_deletes", 0)),
+                int(e.get("wall_ms", 0)),
+                len(e.get("partitions", [])),
+            )
+            for e in self.snapshot()["lineage"]
+            if e.get("kind") == "merge"
+        ]
+        schema = (
+            "stream_id string, epoch_id long, version long, n_events long,"
+            " n_upserts long, n_deletes long, wall_ms long, n_buckets int"
+        )
+        if not rows:
+            return spark.createDataFrame([], schema)
+        return spark.createDataFrame(rows, schema)
+
+    def bucket_offsets_df(self, spark: SparkSession) -> DataFrame:
+        """Per-(epoch, bucket) offsets: surviving rows + max applied seq —
+        from parquet footer stats, the manifest-column-stats analog."""
         rows = [
             (
                 e.get("stream_id"),
                 int(e.get("epoch_id", -1)),
                 int(p["bucket"]),
+                int(p["n_rows"]),
                 int(p["max_seq"]),
-                int(p["n_events"]),
-                int(p["n_upserts"]),
-                int(p["n_deletes"]),
-                int(e.get("wall_ms", 0)),
-                int(e.get("version", -1)),
             )
             for e in self.snapshot()["lineage"]
             if e.get("kind") == "merge"
             for p in e.get("partitions", [])
         ]
         schema = (
-            "stream_id string, epoch_id long, partition_id int, max_seq long,"
-            " n_events long, n_upserts long, n_deletes long, wall_ms long,"
-            " version long"
+            "stream_id string, epoch_id long, partition_id int,"
+            " n_rows long, max_seq long"
         )
         if not rows:
             return spark.createDataFrame([], schema)

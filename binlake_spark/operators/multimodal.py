@@ -1,0 +1,131 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Convention: media rides in a table as
+
+    media(doc_id string, kind string ∈ {image,audio,video},
+          payload binary, meta map<string,string>)
+
+exactly as the tokenized docs ride the change log — binary is opaque to
+the engine, metadata is typed, and all per-row work happens in
+Arrow-batched ``mapInPandas`` / ``mapInArrow`` stages.
+
+The decode step itself (JPEG → pixels, PCM → samples, container → frames)
+needs image/audio libraries that are NOT in this container, so it is
+**stubbed** two ways, clearly marked:
+
+- ``decode_stub="raise"``  → NotImplementedError at evaluation time (the
+  production integration point: swap `_decode_fake` for PIL/ffmpeg).
+- ``decode_stub="fake"``   → a deterministic byte-statistics feature
+  vector (histogram over 16 byte-value bins + length), so the Spark-side
+  plumbing — schema, Arrow batch shape, partitioning, downstream
+  consumers — is fully real and testable.
+
+What IS real here: batch iteration, zero-copy binary access, output
+schemas, frame sampling arithmetic, and the partitioning contract
+(repartition by doc_id so one doc's frames land together).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FEATURE_DIM = 17  # 16 histogram bins + normalized length
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _decode_fake(payload: pd.Series) -> list[np.ndarray]:
+    """Deterministic stand-in for pixel/sample decode: 16-bin byte
+    histogram + log-length, float32.  Vectorized per batch via numpy
+    (frombuffer is a C-level view, no per-byte Python)."""
+    out = []
+    for buf in payload:
+        arr = np.frombuffer(buf, dtype=np.uint8) if buf else np.zeros(0, np.uint8)
+        hist = np.bincount(arr >> 4, minlength=16).astype(np.float32)
+        total = max(1.0, float(arr.size))
+        out.append(np.concatenate([hist / total, [np.log1p(arr.size)]]).astype(np.float32))
+    return out
+
+
+def extract_features(
+    df: DataFrame,
+    decode_stub: str = "fake",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """media → per-item feature vectors, Arrow-batched.
+
+    This is the integration point for a real decoder: replace
+    `_decode_fake` with a PIL/torchvision/ffmpeg call — the Spark plumbing
+    (schema, batching, partitioning) does not change.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_stub == "raise":
+                raise NotImplementedError(
+                    "media decode requires image/audio libs not present in "
+                    "this container; use decode_stub='fake' for plumbing tests"
+                )
+            feats = _decode_fake(pdf[payload_col])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": pdf["kind"].values,
+                    "n_bytes": pdf[payload_col].map(lambda b: len(b) if b else 0).astype("int64"),
+                    "features": feats,
+                }
+            )
+
+    return df.mapInPandas(fn, FEATURES_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_bytes: int = 1024,
+    every_n: int = 10,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame sampling for video-like payloads: treat the payload as
+    fixed-size frames, keep every Nth.  Pure JVM: sequence + transform +
+    explode on substr(binary) — no Python in the path."""
+    n_frames = F.floor(F.octet_length(payload_col) / frame_bytes).cast("int")
+    # sequence(0, -1) would be a DESCENDING range in Spark — guard empties
+    all_idx = F.when(n_frames > 0, F.sequence(F.lit(0), n_frames - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    idxs = F.filter(all_idx, lambda i: i % every_n == 0)
+    return (
+        df.select("doc_id", "kind", F.explode(idxs).alias("frame_idx"), F.col(payload_col))
+        .select(
+            "doc_id",
+            "kind",
+            "frame_idx",
+            F.expr(f"substring({payload_col}, frame_idx * {frame_bytes} + 1, {frame_bytes})").alias(
+                "frame"
+            ),
+        )
+    )
+
+
+def make_media_table(spark, docs: DataFrame, kind: str = "image") -> DataFrame:
+    """Deterministic synthetic media over the documents table (text bytes
+    as payload) — no external data, real binary plumbing."""
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit(kind).alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.create_map(F.lit("lang"), F.col("lang")).alias("meta"),
+    )

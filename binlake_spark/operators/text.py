@@ -1,0 +1,95 @@
+"""Text analysis operators (library form of the driver queries).
+
+All JVM built-ins — the whole family stays inside whole-stage codegen;
+a BPE-ish regex tokenizer is the only place a regex runs per row, and it
+compiles once JVM-side (no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = {
+    "en": [" the ", " and ", " of ", " to "],
+    "de": [" der ", " und ", " die ", " das "],
+    "fr": [" le ", " et ", " la ", " les "],
+}
+
+# GPT-2-style pretokenizer shape: optional space + word / number / punct run
+BPE_ISH = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def occurrences(text: Column, pat: str) -> Column:
+    """Count non-overlapping literal occurrences via length arithmetic."""
+    return (F.length(text) - F.length(F.replace(text, F.lit(pat)))) / len(pat)
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace and BPE-ish token counts per doc."""
+    return df.withColumns(
+        {
+            "n_ws_tokens": F.size(F.split(F.col(text_col), " ")),
+            "n_bpe_tokens": F.size(
+                F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH), F.lit(0))
+            ),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality signals + a composite score in [0, 1]."""
+    t = F.col(text_col)
+    n_words = F.size(F.split(t, " "))
+    avg_wl = F.length(F.replace(t, F.lit(" "))).cast("double") / n_words
+    punct_ratio = (
+        F.length(t) - F.length(F.regexp_replace(t, r"[.,!?;:]", ""))
+    ).cast("double") / F.greatest(F.length(t), F.lit(1))
+    stop_ratio = sum(
+        (occurrences(t, w) for w in STOPWORDS["en"]), F.lit(0.0)
+    ) / F.greatest(n_words, F.lit(1))
+    score = (
+        F.when((avg_wl >= 3) & (avg_wl <= 10), 0.4).otherwise(0.0)
+        + F.when(stop_ratio > 0.01, 0.3).otherwise(0.0)
+        + F.when(punct_ratio < 0.1, 0.3).otherwise(0.0)
+    )
+    return df.withColumns(
+        {
+            "n_words": n_words,
+            "avg_word_len": F.round(avg_wl, 4),
+            "punct_ratio": F.round(punct_ratio, 4),
+            "stopword_ratio": F.round(stop_ratio, 4),
+            "quality": F.round(score, 2),
+        }
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-count language ID over STOPWORDS; ties break by dict order."""
+    t = F.col(text_col)
+    scores = {
+        lang: sum((occurrences(t, w) for w in ws), F.lit(0.0))
+        for lang, ws in STOPWORDS.items()
+    }
+    langs = list(scores)
+    best = F.greatest(*scores.values())
+    pred = F.when(scores[langs[0]] == best, langs[0])
+    for lang in langs[1:]:
+        pred = pred.when(scores[lang] == best, lang)
+    out = df.withColumn("predicted_lang", pred)
+    for lang in langs:
+        out = out.withColumn(f"score_{lang}", scores[lang].cast("long"))
+    return out
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit content fingerprints: xxhash64 (fast) + md5-prefix (portable
+    across engines, used by the DuckDB oracles)."""
+    return df.withColumns(
+        {
+            "fp_xxh": F.xxhash64(F.col(text_col)),
+            "fp_md5": F.conv(F.substring(F.md5(F.col(text_col)), 1, 15), 16, 10).cast(
+                "long"
+            ),
+        }
+    )

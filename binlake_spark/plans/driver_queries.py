@@ -696,6 +696,78 @@ def sim_topk_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------- #
+# Sketch/ANN operators — rows-only checks (not ANSI-SQL-expressible in a
+# way that is engine-exact; each is verified in pytest against an exact
+# in-engine baseline instead: tests/test_pipeline_ops.py)
+# --------------------------------------------------------------------- #
+@_register("dedup_minhash_lsh")
+def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs over the corpus ∪ shifted clones;
+    banding proposes candidates, exact Jaccard verifies (no false
+    positives by construction)."""
+    from binlake_spark.operators.dedup import minhash_lsh
+
+    return minhash_lsh(_clones(spark, sf_dir), threshold=0.9)
+
+
+@_register("dedup_simhash")
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binlake_spark.operators.dedup import simhash_near_dups
+
+    return simhash_near_dups(_clones(spark, sf_dir), max_hamming=0)
+
+
+@_register("sim_ann_lsh")
+def sim_ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binlake_spark.operators.similarity import ann_lsh
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ann_lsh(e, query_id=0, dim=64, k=10, bits=4)
+
+
+@_register("mm_features")
+def mm_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: binary payloads → Arrow-batched
+    feature extraction (deterministic fake decode; see operators/multimodal)."""
+    from binlake_spark.operators.multimodal import extract_features, make_media_table
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    return extract_features(make_media_table(spark, d)).drop("features").withColumn(
+        "n_bytes", F.col("n_bytes")
+    )
+
+
+@_register("cdc_engine_replay")
+def cdc_engine_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine itself, end-to-end at driver scale: deterministic
+    synthetic binlog (retransmit + hot keys + evolution) → streaming-shape
+    batch replay → final LakeTable state.  Correctness vs the pandas
+    oracle is asserted in pytest; here the driver sees the engine run."""
+    import tempfile
+
+    from binlake_spark.changelog import GenSpec, generate_change_log, write_change_log
+    from binlake_spark.streaming import CdcEngine
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    n = max(2_000, int(200_000 * float(sf)))
+    work = tempfile.mkdtemp(prefix="binlake_driver_q_")
+    pdf = generate_change_log(
+        GenSpec(n_docs=n // 25, n_events=n, events_per_epoch=n // 4,
+                retransmit_frac=0.1, hot_keys=3, hot_frac=0.2, evolution_at=n // 2)
+    )
+    src = f"{work}/log"
+    write_change_log(pdf, src)
+    table = CdcEngine.create_table(f"{work}/docs", num_buckets=16)
+    engine = CdcEngine(table)
+    engine.run_batch_replay(spark, src)
+    return engine.read_state(spark).select(
+        "doc_id", "n_tok", "source", "lang", F.hash("tokens").alias("tokens_hash")
+    )
+
+
+# --------------------------------------------------------------------- #
 # Multimodal plumbing (binary payload stats)
 # --------------------------------------------------------------------- #
 @_register(

@@ -1,0 +1,131 @@
+"""Change-log sources — the dump/fetch stage of the reference as Spark
+sources.
+
+Reference source inventory (SURVEY §2 ops 1-3): live socket dump
+(BinlogDump.sendDumpCommand, BinlogDump.java:23-50), JDBC fetcher
+(DirectLogFetcher.java:38-120), and on-disk binlog file replay
+(FileLogFetcher.java:1-158).  Spark-native equivalents:
+
+- :func:`file_changelog_stream` — streaming tail of a parquet change-log
+  directory; offsets live in the query checkpoint (the ZK `/dynamic`
+  analog).  ``maxFilesPerTrigger`` is the backpressure token bucket
+  (wave.server.throttle.size, BinlogWorker.java:214-218).
+- :func:`bounded_replay` — batch read of the same directory
+  (FileLogFetcher analog; the correctness-harness path).
+- :func:`rate_changelog_stream` — unbounded deterministic synthetic
+  envelope stream derived from the rate source entirely with JVM
+  expressions: soak/scale testing with zero generation cost on the
+  driver.
+- :func:`kafka_changelog_stream` — the production transport (the
+  reference produces to Kafka/JMQ; a Spark deployment consumes the same
+  topic).  Gated: the Kafka connector jar is not in this image, so the
+  builder raises with instructions rather than failing deep in Py4J.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from binlake_spark.changelog.generator import CHANGE_LOG_SCHEMA, VOCAB
+
+
+def file_changelog_stream(
+    spark: SparkSession,
+    source_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    reader = spark.readStream.schema(CHANGE_LOG_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    return reader.parquet(source_dir)
+
+
+def bounded_replay(spark: SparkSession, source_dir: str) -> DataFrame:
+    return spark.read.schema(CHANGE_LOG_SCHEMA).parquet(source_dir)
+
+
+def rate_changelog_stream(
+    spark: SparkSession,
+    rows_per_second: int = 10_000,
+    n_docs: int = 100_000,
+    tokens_per_doc: int = 16,
+) -> DataFrame:
+    """Deterministic synthetic envelope stream from the rate source.
+
+    Every column is a pure function of the rate source's ``value`` (our
+    ``seq``), so two runs at any parallelism produce the same logical
+    stream.  Token payloads are generated as packed int32 bytes JVM-side
+    so the stream exercises the same Arrow decode path as the file log.
+    """
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+    seq = F.col("value") + 1
+    doc = F.pmod(F.hash(seq.cast("string")), F.lit(n_docs))
+    opsel = F.pmod(seq, F.lit(15))
+    tok = F.transform(
+        F.sequence(F.lit(0), F.lit(tokens_per_doc - 1)),
+        lambda i: F.pmod(F.hash(seq.cast("string"), i.cast("string")), F.lit(VOCAB)).cast(
+            "int"
+        ),
+    )
+    # pack int32 little-endian: 4 bytes per token via concat of substrings
+    payload = F.aggregate(
+        tok, F.lit(b""), lambda acc, t: F.concat(acc, _int32_le(t))
+    )
+    return rate.select(
+        seq.cast("long").alias("seq"),
+        F.concat(F.lit("00000000-0000-0000-0000-"), F.lpad(F.pmod(seq, F.lit(2)).cast("string"), 12, "0")).alias("server_uuid"),
+        (seq / 2).cast("long").alias("gno"),
+        ((seq - 1) / 3 + 1).cast("long").alias("trx_id"),
+        F.col("timestamp").alias("ts"),
+        F.when(opsel < 10, "I").when(opsel < 14, "U").otherwise("D").alias("op"),
+        F.concat(F.lit("doc"), F.lpad(doc.cast("string"), 6, "0")).alias("doc_id"),
+        tok.alias("tokens"),
+        F.lit(tokens_per_doc).cast("int").alias("n_tok"),
+        F.element_at(
+            F.array(F.lit("web"), F.lit("books"), F.lit("code"), F.lit("wiki")),
+            (F.pmod(seq, F.lit(4)) + 1).cast("int"),
+        ).alias("source"),
+        payload.alias("payload"),
+        F.lit(1).cast("int").alias("schema_ver"),
+        F.map_from_arrays(F.array(), F.array()).cast("map<string,string>").alias("extra"),
+        F.lit(0).cast("int").alias("epoch_hint"),
+    )
+
+
+def _int32_le(t):
+    """4 little-endian bytes of an int32 column, as binary."""
+    byte = lambda shift: F.chr(  # noqa: E731
+        F.pmod(F.shiftright(t.cast("int"), shift).cast("long"), F.lit(256))
+    )
+    return F.encode(F.concat(byte(0), byte(8), byte(16), byte(24)), "ISO-8859-1")
+
+
+def kafka_changelog_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Kafka transport (requires spark-sql-kafka jars on the classpath —
+    not shipped in this image, hence the guarded construction)."""
+    try:
+        raw = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+            .load()
+        )
+    except Exception as e:  # pragma: no cover - jar not present in CI image
+        raise RuntimeError(
+            "Kafka source requires the spark-sql-kafka-0-10 connector jar "
+            "(add via spark.jars.packages on a cluster with network access)"
+        ) from e
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), CHANGE_LOG_SCHEMA).alias("e")
+    ).select("e.*")

@@ -62,12 +62,27 @@ class CdcEngine:
         salt: int | None = None,
         decode_payload: bool = True,
         promote_extra: bool = True,
+        decode_partitions: int | None = None,
     ):
+        """``salt``: two-stage compaction for pathological key skew.  Note
+        that ordinary hot keys are already absorbed by ``max_by``'s
+        map-side partial aggregation (each map task pre-combines a hot key
+        to one row before the shuffle), so the default is off; the salt
+        path is for adversarial skew where single keys dominate whole scan
+        partitions *and* the combine itself is the bottleneck.
+
+        ``decode_partitions``: parallelism of the Arrow decode stage.  Each
+        Python task pays a fixed worker/Arrow-stream handshake (~50-100 ms),
+        so winners are coalesced to fewer, fatter tasks by default
+        (defaultParallelism/4, ≥4).  On a large cluster with millions of
+        winners per epoch, raise it (rows-per-task is the real knob).
+        """
         self.table = table
         self.stream_id = stream_id
         self.salt = salt
         self.decode_payload = decode_payload
         self.promote_extra = promote_extra
+        self.decode_partitions = decode_partitions
 
     # ------------------------------------------------------------------ #
     @classmethod
@@ -112,9 +127,13 @@ class CdcEngine:
         #    explicit hash partitioning on the business key.
         net = compact_lww(df, key="doc_id", seq_col="seq", salt=self.salt)
 
-        # 3. Arrow decode on winners only: payload bytes → array<int32>
+        # 3. Arrow decode on winners only: payload bytes → array<int32>,
+        #    coalesced to few fat Python tasks (fixed per-task handshake)
         if has_payload:
-            net = decode_and_validate(net)
+            p = self.decode_partitions or max(
+                4, spark.sparkContext.defaultParallelism // 4
+            )
+            net = decode_and_validate(net.coalesce(p))
 
         # 4. additive schema evolution on winners: promote new `extra`
         #    keys to real columns (add-column-only, BinlogWorker.java:1079).

@@ -62,9 +62,8 @@ def main() -> int:
         assert row.lang == ref.lang
     print(f"final state: {len(got)} live docs — exact token-array match vs oracle ✓")
 
-    lin = engine.lineage(spark)
-    lin.groupBy("epoch_id").sum("n_events", "n_upserts", "n_deletes").orderBy(
-        "epoch_id"
+    engine.lineage(spark).orderBy("epoch_id").select(
+        "epoch_id", "n_events", "n_upserts", "n_deletes", "n_buckets", "wall_ms"
     ).show()
     shutil.rmtree(work, ignore_errors=True)
     return 0

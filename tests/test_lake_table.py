@@ -124,4 +124,10 @@ def test_lineage_records_per_bucket(spark, tmp_path):
     assert sum(r.n_events for r in lin) == 2
     assert sum(r.n_deletes for r in lin) == 1
     assert all(r.stream_id == "s1" and r.epoch_id == 0 for r in lin)
+    offs = t.bucket_offsets_df(spark).collect()
+    assert sum(r.n_rows for r in offs) == 1  # "a" survives, "b" deleted
+    # non-empty buckets carry footer stats; fully-deleted buckets are -1
+    assert all(r.max_seq >= 1 for r in offs if r.n_rows > 0)
+    # the watermark fence still advanced every touched bucket
+    assert all(int(w) >= 2 for w in t.snapshot()["watermarks"].values())
     assert os.path.exists(os.path.join(str(tmp_path / "t"), "_meta", "CURRENT"))

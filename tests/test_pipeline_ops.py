@@ -1,0 +1,169 @@
+"""Training-data pipeline operators: dedup, similarity, multimodal, text."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+# ----------------------------- dedup ---------------------------------- #
+def _with_clones(docs):
+    return docs.select("doc_id", "text").unionAll(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+
+
+def test_exact_dedup_finds_clones(docs):
+    from binlake_spark.operators.dedup import exact_dedup
+
+    out = exact_dedup(_with_clones(docs)).collect()
+    n_docs = docs.count()
+    assert len(out) == docs.select("text").distinct().count()
+    assert all(r.n_dupes >= 2 for r in out)
+    assert sum(r.n_dupes for r in out) == 2 * n_docs
+
+
+def test_minhash_lsh_finds_clones_no_false_positives(docs):
+    from binlake_spark.operators.dedup import minhash_lsh
+
+    out = minhash_lsh(_with_clones(docs), threshold=0.99).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in out}
+    n_docs = docs.count()
+    # every identical clone pair must be found (sig equality ⇒ same band)
+    expected = {(r.doc_id, r.doc_id + 1000000) for r in docs.collect()}
+    missing = expected - pairs
+    assert not missing, f"missing {len(missing)} clone pairs"
+    # verify stage guarantees jaccard ≥ threshold (no false positives)
+    assert all(r.jaccard >= 0.99 for r in out)
+
+
+def test_minhash_vs_exact_jaccard_agreement(docs):
+    from binlake_spark.operators.dedup import minhash_lsh, ngram_jaccard_pairs
+
+    # with verification on, LSH output ⊆ exact output at same threshold
+    lsh = {(r.doc_a, r.doc_b) for r in minhash_lsh(_with_clones(docs), threshold=0.8).collect()}
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(_with_clones(docs), threshold=0.8, max_df=None).collect()
+    }
+    assert lsh <= exact
+
+
+def test_simhash_clones_distance_zero(docs):
+    from binlake_spark.operators.dedup import simhash_near_dups
+
+    out = simhash_near_dups(_with_clones(docs), max_hamming=0).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in out}
+    expected = {(r.doc_id, r.doc_id + 1000000) for r in docs.collect()}
+    assert expected <= pairs
+    assert all(r.hamming == 0 for r in out)
+
+
+# --------------------------- similarity ------------------------------- #
+def test_cosine_topk_self_is_one(emb, spark):
+    from binlake_spark.operators.similarity import cosine_topk
+
+    out = cosine_topk(emb, query_id=1, k=5).collect()
+    assert len(out) == 5
+    assert all(-1.0001 <= r.cosine <= 1.0001 for r in out)
+    # ordered descending
+    scores = [r.cosine for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_ann_lsh_subset_of_bruteforce_and_recall(emb):
+    from binlake_spark.operators.similarity import ann_lsh, cosine_topk
+
+    brute = [r.vec_id for r in cosine_topk(emb, query_id=1, k=10).collect()]
+    approx = [r.vec_id for r in ann_lsh(emb, query_id=1, dim=64, k=10, bits=4).collect()]
+    # with 4 bits (16 buckets) recall should be nontrivial; every returned
+    # id must score identically to brute force (exact rerank)
+    assert len(set(approx) & set(brute)) >= 2
+    brute_scores = {r.vec_id: r.cosine for r in cosine_topk(emb, query_id=1, k=500).collect()}
+    for r in ann_lsh(emb, query_id=1, dim=64, k=10, bits=4).collect():
+        assert abs(brute_scores[r.vec_id] - r.cosine) < 1e-9
+
+
+def test_pairwise_cosine_dups_finds_planted_dup(emb, spark):
+    from binlake_spark.operators.similarity import pairwise_cosine_dups
+
+    planted = emb.filter(F.col("vec_id") == 7).select(
+        (F.col("vec_id") + 9000).alias("vec_id"), "embedding", "label"
+    )
+    out = pairwise_cosine_dups(emb.unionAll(planted), dim=64, threshold=0.999).collect()
+    assert any({r.id_a, r.id_b} == {7, 9007} for r in out)
+
+
+# --------------------------- multimodal -------------------------------- #
+def test_multimodal_features_shape_and_determinism(docs, spark):
+    from binlake_spark.operators.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+        make_media_table,
+    )
+
+    media = make_media_table(spark, docs)
+    f1 = extract_features(media).orderBy("doc_id").collect()
+    f2 = extract_features(media).orderBy("doc_id").collect()
+    assert len(f1) == docs.count()
+    for a, b in zip(f1, f2):
+        assert len(a.features) == FEATURE_DIM
+        assert np.allclose(a.features, b.features)
+        assert abs(sum(a.features[:16]) - 1.0) < 1e-5  # histogram normalized
+        assert a.n_bytes > 0
+
+
+def test_multimodal_raise_stub(docs, spark):
+    from binlake_spark.operators.multimodal import extract_features, make_media_table
+
+    media = make_media_table(spark, docs).limit(1)
+    with pytest.raises(Exception, match="media decode"):
+        extract_features(media, decode_stub="raise").collect()
+
+
+def test_frame_sampling_arithmetic(docs, spark):
+    from binlake_spark.operators.multimodal import make_media_table, sample_frames
+
+    media = make_media_table(spark, docs, kind="video")
+    frames = sample_frames(media, frame_bytes=64, every_n=4)
+    joined = (
+        frames.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"), F.max("frame_idx").alias("max_idx"))
+        .join(media.select("doc_id", F.octet_length("payload").alias("nb")), "doc_id")
+        .collect()
+    )
+    for r in joined:
+        total = r.nb // 64
+        expected = (total + 3) // 4
+        assert r.n_frames == expected, (r.doc_id, r.nb)
+        if expected:
+            assert r.max_idx % 4 == 0
+
+
+# ------------------------------ text ----------------------------------- #
+def test_text_ops(docs, spark):
+    from binlake_spark.operators.text import fingerprint, lang_id, quality_score, token_count
+
+    out = token_count(docs).select("doc_id", "n_ws_tokens", "n_bpe_tokens").collect()
+    assert all(r.n_bpe_tokens >= r.n_ws_tokens for r in out)
+
+    q = quality_score(docs).collect()
+    assert all(0.0 <= r.quality <= 1.0 for r in q)
+
+    li = lang_id(docs)
+    assert li.filter(F.col("predicted_lang").isNull()).count() == 0
+    # markers present → mostly-english corpus predicts en for en rows with markers
+    en_hit = li.filter((F.col("lang") == "en") & (F.col("score_en") > 0))
+    assert en_hit.filter(F.col("predicted_lang") == "en").count() == en_hit.count()
+
+    fp = fingerprint(docs).collect()
+    assert len({r.fp_xxh for r in fp}) == len({r.fp_md5 for r in fp})
