@@ -50,9 +50,43 @@ def sf_from_dir(d: str) -> float:
         return 0.1
 
 
+def _cached_change_log(spec) -> tuple[str, list[str], int]:
+    """Generate the deterministic change log once per spec, cache on disk.
+
+    Generation is pure pandas on the driver and costs more wall than the
+    replay itself at bench scale; since (spec, seed) fully determines the
+    bytes, repeated bench/scaling runs reuse the files.  Returns
+    (dir, files, n_events_including_retransmits).
+    """
+    import hashlib
+    from dataclasses import asdict
+
+    from binlake_spark.changelog import generate_change_log, write_change_log
+
+    key = hashlib.sha256(json.dumps(asdict(spec), sort_keys=True).encode()).hexdigest()[
+        :16
+    ]
+    root = os.path.join(tempfile.gettempdir(), "binlake_cl_cache", key)
+    marker = os.path.join(root, "_COMPLETE")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            n = int(f.read().strip())
+        files = sorted(
+            os.path.join(root, p) for p in os.listdir(root) if p.endswith(".parquet")
+        )
+        return root, files, n
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    pdf = generate_change_log(spec)
+    files = write_change_log(pdf, root)
+    with open(marker, "w") as f:
+        f.write(str(len(pdf)))
+    return root, files, len(pdf)
+
+
 def run_cdc_replay(spark, sf: float, work: str, epochs: int = 8) -> dict:
     """The headline metric: events/sec through the full exactly-once path."""
-    from binlake_spark.changelog import GenSpec, generate_change_log, write_change_log
+    from binlake_spark.changelog import GenSpec
     from binlake_spark.streaming import CdcEngine
 
     n_events = int(
@@ -69,9 +103,7 @@ def run_cdc_replay(spark, sf: float, work: str, epochs: int = 8) -> dict:
         evolution_at=n_events // 2,
         seed=42,
     )
-    pdf = generate_change_log(spec)
-    src = os.path.join(work, "change_log")
-    files = write_change_log(pdf, src)
+    src, files, total = _cached_change_log(spec)
 
     # size scan splits so every core has work each epoch: split ≈
     # epoch_bytes / 2·cores, clamped to [4 MiB, 128 MiB] (the local stand-in
@@ -94,7 +126,6 @@ def run_cdc_replay(spark, sf: float, work: str, epochs: int = 8) -> dict:
         spark, src, os.path.join(work, "ckpt"), max_files_per_trigger=2
     )
     wall = time.monotonic() - t0
-    total = len(pdf)
     return {
         "events": total,
         "wall_sec": round(wall, 3),

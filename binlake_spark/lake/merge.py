@@ -107,8 +107,19 @@ def merge_into(
     seq_col: str = "seq",
     op_col: str = "op",
     enforce_watermark: bool = False,
+    dirty: list[int] | None = None,
+    assume_persisted: bool = False,
+    extra_lineage: dict | None = None,
 ) -> MergeResult:
-    """Apply one compacted change batch to the table, exactly once."""
+    """Apply one compacted change batch to the table, exactly once.
+
+    ``dirty`` / ``assume_persisted``: the engine precomputes the dirty
+    bucket list in the same metadata job that detects schema evolution and
+    hands over an already-persisted ``net`` (with ``_bucket`` attached), so
+    the merge adds no extra pass of its own.  ``extra_lineage`` fields
+    (e.g. per-phase stage delays, the PerformanceUtils analog) are embedded
+    in the committed lineage entry.
+    """
     t0 = time.monotonic()
     snap = table.snapshot()
     key = snap["key_col"]
@@ -120,9 +131,10 @@ def merge_into(
             applied=False, epoch_id=epoch_id, skipped_reason="epoch-already-applied"
         )
 
-    net = net.withColumn(
-        "_bucket", F.pmod(F.hash(F.col(key)), F.lit(num_buckets)).cast("int")
-    )
+    if "_bucket" not in net.columns:
+        net = net.withColumn(
+            "_bucket", F.pmod(F.hash(F.col(key)), F.lit(num_buckets)).cast("int")
+        )
 
     # -- 2. optional retransmit fence (bucket-monotone sources only) ----- #
     if enforce_watermark and snap["watermarks"]:
@@ -132,13 +144,20 @@ def merge_into(
             .filter(F.col(seq_col) > F.coalesce(F.col("_wm"), F.lit(-1)))
             .drop("_wm")
         )
+        dirty = None  # fence may empty buckets; recompute
 
-    net = net.persist()
+    own_persist = not assume_persisted
+    if own_persist:
+        net = net.persist()
     try:
-        # job A: which buckets does this epoch touch?
-        dirty = sorted(
-            int(r["_bucket"]) for r in net.select("_bucket").distinct().collect()
-        )
+        # job A: which buckets does this epoch touch? (skipped when the
+        # caller already knows from its metadata job)
+        if dirty is None:
+            dirty = sorted(
+                int(r["_bucket"]) for r in net.select("_bucket").distinct().collect()
+            )
+        else:
+            dirty = sorted(int(b) for b in dirty)
         if not dirty:
             # nothing to apply: still commit the epoch marker so a replay
             # of this epoch stays a no-op.
@@ -155,6 +174,7 @@ def merge_into(
                     "n_upserts": 0,
                     "n_deletes": 0,
                     "partitions": [],
+                    **(extra_lineage or {}),
                 }
             )
             table._write_snapshot(snap)
@@ -268,6 +288,7 @@ def merge_into(
                 "n_upserts": int(metrics["n_upserts"] or 0),
                 "n_deletes": int(metrics["n_deletes"] or 0),
                 "partitions": partitions,
+                **(extra_lineage or {}),
             }
         )
         table._write_snapshot(snap)
@@ -281,4 +302,5 @@ def merge_into(
             partitions=partitions,
         )
     finally:
-        net.unpersist()
+        if own_persist:
+            net.unpersist()

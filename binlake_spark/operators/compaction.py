@@ -9,28 +9,51 @@ event batch to **at most one row per key** — the winner under
 number of *distinct* keys, not events (the packet-batching analog,
 ProtobufConverter.java:549-729).
 
-Two physical strategies, semantically identical (property-tested):
+Three physical strategies, semantically identical (property-tested):
 
-- :func:`compact_lww` — built-in ``max_by`` aggregate.  Whole-stage
+- ``strategy="agg"`` — built-in ``max_by`` aggregate.  Whole-stage
   codegen, map-side partial aggregation, one shuffle on the key.  With
   ``salt > 1`` it runs **two-stage**: partial winners per (key, salt) —
   the salt is derived from ``seq`` so a hot key's events spread over
   ``salt`` reducers — then the global winner per key.  ``max`` is
   associative/commutative, so salting cannot change the result; that
   invariance is what makes the skew fix safe (SURVEY §7 hard-point 3).
+  Caveat at scale: the aggregation buffer holds the **whole payload** per
+  key, so every event's payload crosses the shuffle, and with key counts
+  near rows-per-task the map-side combine stops helping.
+- ``strategy="joinback"`` — the wide-payload plan: aggregate only
+  ``(key, max(seq))`` (a few-bytes-per-row shuffle with near-perfect
+  map-side combine — hot keys collapse to one row per map task, no salt
+  needed), then inner-join the winners back against the source to fetch
+  the winning payloads, then drop retransmit duplicates of the winning
+  row.  Payloads never enter the aggregation shuffle: with AQE the tiny
+  winner side broadcasts; beyond broadcast size Spark's runtime bloom
+  filter (``spark.sql.optimizer.runtime.bloomFilter.enabled``) prunes the
+  probe scan to ~|winners| rows before any exchange.  At events ≫ keys
+  this moves |keys| payloads instead of |events| payloads.
 - :func:`compact_lww_pandas` — ``applyInPandas`` per key-group, the
   Arrow-vectorized form (kept for parity with the north star's
   "change-batch compaction" UDF family and as an extension point for
   semantics SQL can't express, e.g. before-image reconciliation).
 
+``strategy="auto"`` picks joinback when the payload carries variable-width
+columns (binary/array/map/string payloads — the token-sequence case) and
+the cheap single-shuffle agg otherwise.
+
 Retransmit duplicates (same (key, seq) re-emitted verbatim) are absorbed
-by either path: any of the identical rows may win, and they are identical.
+by every path: any of the identical rows may win, and they are identical.
+``seq`` must be a total order over *distinct* events (the binlog file/pos
+flattening guarantees this, LogPosition.java:38-44): two different rows
+never share one (key, seq).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_WIDE = (T.BinaryType, T.ArrayType, T.MapType, T.StringType, T.StructType)
 
 
 def compact_lww(
@@ -38,8 +61,30 @@ def compact_lww(
     key: str = "doc_id",
     seq_col: str = "seq",
     salt: int | None = None,
+    strategy: str = "auto",
+    broadcast_winners: bool = True,
 ) -> DataFrame:
-    """Reduce an event batch to one winning row per key (LWW by seq)."""
+    """Reduce an event batch to one winning row per key (LWW by seq).
+
+    ``broadcast_winners`` (joinback only): hint the winner key-set to the
+    build side of a broadcast hash join — the probe (payload) side is then
+    never shuffled.  Winners per micro-batch are bounded by backpressure
+    (maxFilesPerTrigger), so the hint is safe for the streaming engine;
+    set False for unbounded batch replays with ≳10^7 distinct keys, where
+    AQE + the runtime bloom filter prune the probe shuffle instead.
+    """
+    if strategy == "auto":
+        wide = any(
+            isinstance(f.dataType, _WIDE)
+            for f in df.schema.fields
+            if f.name not in (key, seq_col)
+        )
+        strategy = "joinback" if wide else "agg"
+    if strategy == "joinback":
+        winners = df.groupBy(key).agg(F.max(seq_col).alias(seq_col))
+        if broadcast_winners:
+            winners = F.broadcast(winners)
+        return df.join(winners, [key, seq_col], "inner").dropDuplicates([key])
     payload_cols = [c for c in df.columns if c != key]
     packed = F.struct(*[F.col(c) for c in payload_cols]).alias("_p")
     if salt and salt > 1:

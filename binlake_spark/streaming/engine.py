@@ -71,11 +71,11 @@ class CdcEngine:
         path is for adversarial skew where single keys dominate whole scan
         partitions *and* the combine itself is the bottleneck.
 
-        ``decode_partitions``: parallelism of the Arrow decode stage.  Each
-        Python task pays a fixed worker/Arrow-stream handshake (~50-100 ms),
-        so winners are coalesced to fewer, fatter tasks by default
-        (defaultParallelism/4, ≥4).  On a large cluster with millions of
-        winners per epoch, raise it (rows-per-task is the real knob).
+        ``decode_partitions``: optional coalesce of the Arrow decode stage.
+        By default decode runs at the compaction's shuffle parallelism
+        (every core busy); set this lower only when winners per epoch are
+        tiny and the fixed Python-worker/Arrow handshake (~50-100 ms/task)
+        dominates.
         """
         self.table = table
         self.stream_id = stream_id
@@ -101,6 +101,19 @@ class CdcEngine:
         pass only ever sees the |distinct keys| winning rows — per-row
         Python work is proportional to keys, not events.  At 10^10 events
         with ~10^7 live keys that is a 1000× cut of the Python boundary.
+
+        Job structure per epoch (exactly two passes over the winners):
+
+        1. **materialize** — scan → validate → compact → decode, persisted;
+           one metadata aggregation over the cached winners yields the
+           dirty-bucket list *and* the set of new ``extra`` keys together
+           (driver sees ≤ num_buckets × keys rows).
+        2. **merge** — survivors ∪ winners written bucket-partitioned, all
+           inputs read from the cache; offsets from parquet footers.
+
+        Per-phase wall times are committed into the lineage entry
+        (``phase_ms``) — the stage-delay monitor analog
+        (PerformanceUtils.java:13-45).
         """
         spark = batch_df.sparkSession
         df = batch_df
@@ -123,37 +136,58 @@ class CdcEngine:
             df = df.filter(F.size("tokens") == F.col("n_tok"))
 
         # 2. net-change compaction FIRST: one winner per doc_id (LWW by
-        #    seq), salted two-stage under skew.  The groupBy IS the
-        #    explicit hash partitioning on the business key.
-        net = compact_lww(df, key="doc_id", seq_col="seq", salt=self.salt)
+        #    seq).  joinback keeps payload bytes out of the wide shuffle;
+        #    the salted two-stage agg remains available for adversarial
+        #    skew (see __init__).  The groupBy IS the explicit hash
+        #    partitioning on the business key.
+        strategy = "agg" if self.salt else "auto"
+        net = compact_lww(
+            df, key="doc_id", seq_col="seq", salt=self.salt, strategy=strategy
+        )
 
-        # 3. Arrow decode on winners only: payload bytes → array<int32>,
-        #    coalesced to few fat Python tasks (fixed per-task handshake)
+        # 3. Arrow decode on winners only: payload bytes → array<int32>
         if has_payload:
-            p = self.decode_partitions or max(
-                4, spark.sparkContext.defaultParallelism // 4
-            )
-            net = decode_and_validate(net.coalesce(p))
+            if self.decode_partitions:
+                net = net.coalesce(self.decode_partitions)
+            net = decode_and_validate(net)
 
-        # 4. additive schema evolution on winners: promote new `extra`
-        #    keys to real columns (add-column-only, BinlogWorker.java:1079).
-        #    net is persisted so the key-detection scan and the merge share
-        #    one computation of the compaction pipeline.
-        cached = None
+        # attach the target bucket now so one metadata job covers both the
+        # dirty-bucket list and schema evolution detection
+        net = net.withColumn("_bucket", self.table.bucket_expr())
+
+        phases: dict[str, int] = {}
+        t0 = time.monotonic()
+        cached = net = net.persist()
         try:
-            if self.promote_extra and "extra" in net.columns:
-                net = cached = net.persist()
-                keys = [
-                    r["k"]
-                    for r in net.select(
-                        F.explode(F.map_keys("extra")).alias("k")
-                    ).distinct().collect()
-                ]
-                if keys:
-                    self.table.add_columns([(k, "string") for k in sorted(keys)])
-                    for k in sorted(keys):
-                        net = net.withColumn(k, F.col("extra")[k])
+            has_extra = self.promote_extra and "extra" in net.columns
+            if has_extra:
+                meta = (
+                    net.select(
+                        "_bucket", F.explode_outer(F.map_keys("extra")).alias("k")
+                    )
+                    .distinct()
+                    .collect()
+                )
+                dirty = sorted({int(r["_bucket"]) for r in meta})
+                keys = sorted({r["k"] for r in meta if r["k"] is not None})
+            else:
+                dirty = sorted(
+                    int(r["_bucket"])
+                    for r in net.select("_bucket").distinct().collect()
+                )
+                keys = []
+            phases["materialize_ms"] = int((time.monotonic() - t0) * 1000)
+
+            # 4. additive schema evolution on winners: promote new `extra`
+            #    keys to real columns (add-column-only, BinlogWorker.java:1079)
+            t1 = time.monotonic()
+            if keys:
+                self.table.add_columns([(k, "string") for k in keys])
+                for k in keys:
+                    net = net.withColumn(k, F.col("extra")[k])
+            if has_extra:
                 net = net.drop("extra")
+            phases["evolve_ms"] = int((time.monotonic() - t1) * 1000)
 
             # 5. idempotent COW MERGE + lineage, committed atomically
             return merge_into(
@@ -162,10 +196,12 @@ class CdcEngine:
                 net,
                 epoch_id=int(epoch_id),
                 stream_id=self.stream_id,
+                dirty=dirty,
+                assume_persisted=True,
+                extra_lineage={"phase_ms": phases},
             )
         finally:
-            if cached is not None:
-                cached.unpersist()
+            cached.unpersist()
 
     # ------------------------------------------------------------------ #
     def run_batch_replay(self, spark: SparkSession, source_dir: str) -> MergeResult:
