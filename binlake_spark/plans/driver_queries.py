@@ -788,3 +788,295 @@ def mm_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("n_codepoints"),
         F.substring(F.md5(F.substring("text", 1, 64)), 1, 8).alias("head_sig"),
     )
+
+
+# --------------------------------------------------------------------- #
+# Embedding near-dup + IVF ANN — engine-exact via integer arithmetic
+# --------------------------------------------------------------------- #
+_QEMB_SQL = """
+      SELECT vec_id, label,
+             list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS qe
+      FROM embeddings
+"""
+
+
+def _quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    quant = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * 100).cast("long")
+    )
+    return e.select("vec_id", "label", quant.alias("qe"))
+
+
+def _ldot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+@_register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH q AS ({_QEMB_SQL}),
+    all2 AS (
+      SELECT * FROM q
+      UNION ALL SELECT vec_id + 1000000 AS vec_id, label, qe FROM q
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(list_dot_product(a.qe, b.qe) AS BIGINT) AS dot,
+             CAST(list_dot_product(a.qe, a.qe) AS BIGINT) AS na2,
+             CAST(list_dot_product(b.qe, b.qe) AS BIGINT) AS nb2
+      FROM all2 a JOIN all2 b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, (dot * dot * 10000) // (na2 * nb2) AS cos2_bp
+    FROM pairs WHERE dot > 0 AND dot * dot * 10000 >= 9025 * na2 * nb2
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.95) over the corpus ∪
+    exact clones under shifted ids, label-blocked (the blocking key is the
+    LSH-bucket analog; operators/similarity.py pairwise_cosine_dups is the
+    sign-LSH production form).  Everything stays in int64 — embeddings
+    quantized ×100, threshold compared as dot² · 10⁴ ≥ 9025 · |a|²|b|² — so
+    Spark and DuckDB agree bit-for-bit; cos2_bp is squared cosine in basis
+    points by integer division."""
+    q = _quantized_embeddings(spark, sf_dir)
+    all2 = q.unionAll(
+        q.select((F.col("vec_id") + 1000000).alias("vec_id"), "label", "qe")
+    )
+    a = all2.select(F.col("vec_id").alias("id_a"), "label", F.col("qe").alias("va"))
+    b = all2.select(F.col("vec_id").alias("id_b"), "label", F.col("qe").alias("vb"))
+    pairs = a.join(b, "label").filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a",
+        "id_b",
+        _ldot(F.col("va"), F.col("vb")).alias("dot"),
+        _ldot(F.col("va"), F.col("va")).alias("na2"),
+        _ldot(F.col("vb"), F.col("vb")).alias("nb2"),
+    )
+    return scored.filter(
+        (F.col("dot") > 0)
+        & (F.col("dot") * F.col("dot") * 10000 >= 9025 * F.col("na2") * F.col("nb2"))
+    ).select(
+        "id_a",
+        "id_b",
+        F.expr("(dot * dot * 10000) div (na2 * nb2)").alias("cos2_bp"),
+    )
+
+
+@_register(
+    "sim_ivf",
+    f"""
+    WITH e AS ({_QEMB_SQL}),
+    c AS (SELECT vec_id AS cid, qe AS ce FROM e WHERE vec_id < 4),
+    assign AS (
+      SELECT e.vec_id, e.label, e.qe, c.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY CAST(list_dot_product(e.qe, c.ce) AS BIGINT) DESC, c.cid
+             ) AS rk
+      FROM e CROSS JOIN c
+    ),
+    cells AS (SELECT vec_id, label, qe, cid FROM assign WHERE rk = 1),
+    qcell AS (SELECT cid, qe FROM cells WHERE vec_id = 0)
+    SELECT v.vec_id, v.label, v.cid AS cell,
+           CAST(list_dot_product(v.qe, q.qe) AS BIGINT) AS dot_q
+    FROM cells v JOIN qcell q ON v.cid = q.cid
+    ORDER BY dot_q DESC, vec_id LIMIT 10
+    """,
+)
+def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN, the scale path past brute force (sim_topk_dot): K=4
+    centroids (the first vectors — a deterministic stand-in for trained
+    k-means), every vector assigned to its max-dot cell, and the query
+    probes only its own cell.  At 10^9 vectors the cell assignment is the
+    partition pruning: a probe touches 1/K of the data (nprobe=1).  The
+    centroid side is a broadcast cross join; int-quantized dots keep the
+    oracle engine-exact."""
+    e = _quantized_embeddings(spark, sf_dir)
+    c = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("qe").alias("ce")
+    )
+    assign = e.crossJoin(F.broadcast(c)).select(
+        "vec_id", "label", "qe", "cid", _ldot(F.col("qe"), F.col("ce")).alias("cdot")
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("cdot").desc(), "cid")
+    cells = (
+        assign.withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .select("vec_id", "label", "qe", "cid")
+    )
+    qcell = cells.filter(F.col("vec_id") == 0).select(
+        "cid", F.col("qe").alias("q_qe")
+    )
+    return (
+        cells.join(F.broadcast(qcell), "cid")
+        .select(
+            "vec_id",
+            "label",
+            F.col("cid").alias("cell"),
+            _ldot(F.col("qe"), F.col("q_qe")).alias("dot_q"),
+        )
+        .orderBy(F.col("dot_q").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------- #
+# BPE-ish tokenization + frame sampling (oracle-backed)
+# --------------------------------------------------------------------- #
+_BPE_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@_register(
+    "text_token_bpe",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_BPE_PAT}')) AS n_bpe_tokens,
+           len(list_distinct(regexp_extract_all(text, '{_BPE_PAT}'))) AS n_distinct_tokens
+    FROM documents
+    """,
+)
+def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: a GPT-2-style pre-tokenizer regex (letter
+    runs | digit runs | single punctuation) — the unit-count a training
+    pipeline budgets by, distinct from whitespace words (text_token_count)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit(_BPE_PAT), 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+
+
+@_register(
+    "mm_frame_sample",
+    """
+    WITH nums AS (SELECT unnest(range(0, 100000)) AS i),
+    f AS (
+      SELECT CAST(d.doc_id AS VARCHAR) AS doc_id, n.i AS frame_idx,
+             substring(d.text, CAST(n.i * 64 + 1 AS BIGINT), 64) AS frame
+      FROM documents d
+      JOIN nums n ON n.i < floor(length(d.text) / 64) AND n.i % 4 = 0
+    )
+    SELECT doc_id, frame_idx, md5(frame) AS frame_sig FROM f
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-frame-sampling plumbing (operators/multimodal.sample_frames):
+    the binary payload is cut into fixed 64-byte frames, every 4th kept,
+    each fingerprinted.  Pure JVM (sequence/filter/explode/substring on
+    binary); the oracle mirrors it on the text (ASCII ⇒ bytes == chars)."""
+    from binlake_spark.operators.multimodal import make_media_table, sample_frames
+
+    d = _t(spark, sf_dir, "documents")
+    frames = sample_frames(
+        make_media_table(spark, d), frame_bytes=64, every_n=4
+    )
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.md5("frame").alias("frame_sig"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# CDC: schema evolution + keyed routing (order grades)
+# --------------------------------------------------------------------- #
+@_register(
+    "cdc_schema_evolution",
+    f"""
+    WITH change_log AS ({_CHANGELOG_SQL}),
+    evolved AS (
+      SELECT *,
+             CASE WHEN seq >= 5000 THEN 'l' || CAST(seq % 4 AS VARCHAR) END AS lang
+      FROM change_log
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+      FROM evolved
+    )
+    SELECT doc_id, seq AS last_seq, round(value, 4) AS last_value, lang
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive mid-stream schema evolution (BinlogWorker.java:1079 — only
+    add-column): a `lang` column exists only for events with seq ≥ 5000;
+    the final LWW state carries it, NULL for keys whose winner predates the
+    evolution — exactly the engine's promote-from-extra path
+    (streaming/engine.py step 4, tested end-to-end in test_engine_replay)."""
+    log = _changelog(spark, sf_dir).withColumn(
+        "lang",
+        F.when(
+            F.col("seq") >= 5000, F.concat(F.lit("l"), (F.col("seq") % 4).cast("string"))
+        ),
+    )
+    out = _lww(log).filter(F.col("op") != "D")
+    return out.select(
+        "doc_id",
+        F.col("seq").alias("last_seq"),
+        F.round("value", 4).alias("last_value"),
+        "lang",
+    )
+
+
+@_register(
+    "cdc_order_grades",
+    f"""
+    WITH change_log AS ({_CHANGELOG_SQL}),
+    keyed AS (
+      SELECT 'BUSINESS_KEY' AS grade, doc_id AS k FROM change_log
+      UNION ALL
+      SELECT 'TRANSACTION', CAST(CAST(floor(seq / 3) AS BIGINT) AS VARCHAR)
+      FROM change_log
+      UNION ALL SELECT 'INSTANCE', 'mysql-host-1' FROM change_log
+    ),
+    routed AS (
+      SELECT grade,
+             CAST(('0x' || substr(md5(k), 1, 15)) AS BIGINT) % 1024 AS part
+      FROM keyed
+    )
+    SELECT grade, part % 4 AS queue, count(*) AS n_events,
+           count(DISTINCT part) AS n_parts
+    FROM routed GROUP BY grade, part % 4
+    """,
+)
+def cdc_order_grades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-grade key generators + hash repartition (IKeyGenerator.java:
+    32-143, hash & 1023 → % processors, HashUtils.java:30-133,
+    BinlogWorker.initPartition:250-258): route the same stream under
+    BUSINESS_KEY / TRANSACTION / INSTANCE grades to 1024 logical partitions
+    and 4 producer queues, and histogram the load.  md5-based hash keeps
+    the routing portable to the oracle (production uses Spark's Murmur3 —
+    operators/keygen.py)."""
+    log = _changelog(spark, sf_dir)
+    keyed = (
+        log.select(F.lit("BUSINESS_KEY").alias("grade"), F.col("doc_id").alias("k"))
+        .unionAll(
+            log.select(
+                F.lit("TRANSACTION").alias("grade"),
+                F.floor(F.col("seq") / 3).cast("long").cast("string").alias("k"),
+            )
+        )
+        .unionAll(
+            log.select(
+                F.lit("INSTANCE").alias("grade"), F.lit("mysql-host-1").alias("k")
+            )
+        )
+    )
+    routed = keyed.select(
+        "grade",
+        (F.conv(F.substring(F.md5("k"), 1, 15), 16, 10).cast("long") % 1024).alias(
+            "part"
+        ),
+    )
+    return routed.groupBy("grade", (F.col("part") % 4).alias("queue")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("part").alias("n_parts"),
+    )
