@@ -39,6 +39,9 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "sim_topk_dot",
+    "sim_ivf",
+    "text_token_bpe",
+    "mm_frame_sample",
 ]
 
 

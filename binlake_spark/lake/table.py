@@ -52,6 +52,11 @@ from pyspark.sql import types as T
 META_DIR = "_meta"
 DATA_DIR = "data"
 CURRENT = "CURRENT"
+LINEAGE_LOG = "lineage.jsonl"
+# lineage entries kept inside the snapshot itself; older entries roll to
+# an append-only side log so the per-commit snapshot write stays O(1) in
+# epochs (at 10^5 epochs an in-snapshot log would make every commit O(n))
+LINEAGE_KEEP = 64
 
 
 def _bucket_expr(key_col: str, num_buckets: int):
@@ -117,7 +122,19 @@ class LakeTable:
 
     def _write_snapshot(self, snap: dict[str, Any]) -> None:
         """Publish snapshot atomically: O_EXCL-like link for the version
-        file (single winner on conflict), then atomic CURRENT flip."""
+        file (single winner on conflict), then atomic CURRENT flip.
+
+        Lineage beyond LINEAGE_KEEP entries rolls to the append-only side
+        log first; a crash or commit conflict after the roll leaves
+        harmless duplicate lines there (readers dedup by version)."""
+        if len(snap.get("lineage", [])) > LINEAGE_KEEP:
+            rolled = snap["lineage"][:-LINEAGE_KEEP]
+            with open(os.path.join(self.meta_dir, LINEAGE_LOG), "a") as f:
+                for e in rolled:
+                    f.write(json.dumps(e) + "\n")
+                f.flush()
+                os.fsync(f.fileno())
+            snap["lineage"] = snap["lineage"][-LINEAGE_KEEP:]
         version = snap["version"]
         final = os.path.join(self.meta_dir, f"v{version}.json")
         tmp = final + f".tmp.{os.getpid()}.{time.monotonic_ns()}"
@@ -221,6 +238,33 @@ class LakeTable:
             return spark.createDataFrame([], schema)
         return spark.createDataFrame(rows, schema)
 
+    def _all_lineage(self) -> list[dict[str, Any]]:
+        """Full lineage: rolled side-log entries + in-snapshot tail, deduped
+        by (kind, stream_id, epoch_id, version) — duplicate lines can exist
+        after a crash between the roll and the snapshot publish."""
+        snap = self.snapshot()
+        current_version = int(snap["version"])
+        entries: list[dict[str, Any]] = []
+        log_path = os.path.join(self.meta_dir, LINEAGE_LOG)
+        if os.path.exists(log_path):
+            with open(log_path) as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        entries.append(json.loads(line))
+        entries.extend(snap["lineage"])
+        seen: set[tuple] = set()
+        out = []
+        for e in entries:
+            if int(e.get("version", -1)) > current_version:
+                continue  # rolled by a commit that never published
+            k = (e.get("kind"), e.get("stream_id"), e.get("epoch_id"), e.get("version"))
+            if k in seen:
+                continue
+            seen.add(k)
+            out.append(e)
+        return out
+
     def lineage_df(self, spark: SparkSession) -> DataFrame:
         """Per-epoch lineage/metrics — the analog of the reference's
         stage-delay monitor (PerformanceUtils.java:13-45) plus its position
@@ -236,7 +280,7 @@ class LakeTable:
                 int(e.get("wall_ms", 0)),
                 len(e.get("partitions", [])),
             )
-            for e in self.snapshot()["lineage"]
+            for e in self._all_lineage()
             if e.get("kind") == "merge"
         ]
         schema = (
@@ -258,7 +302,7 @@ class LakeTable:
                 int(p["n_rows"]),
                 int(p["max_seq"]),
             )
-            for e in self.snapshot()["lineage"]
+            for e in self._all_lineage()
             if e.get("kind") == "merge"
             for p in e.get("partitions", [])
         ]

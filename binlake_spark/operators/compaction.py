@@ -74,12 +74,15 @@ def compact_lww(
     AQE + the runtime bloom filter prune the probe shuffle instead.
     """
     if strategy == "auto":
-        wide = any(
-            isinstance(f.dataType, _WIDE)
-            for f in df.schema.fields
-            if f.name not in (key, seq_col)
-        )
-        strategy = "joinback" if wide else "agg"
+        if salt and salt > 1:
+            strategy = "agg"  # salting only applies to the agg plan
+        else:
+            wide = any(
+                isinstance(f.dataType, _WIDE)
+                for f in df.schema.fields
+                if f.name not in (key, seq_col)
+            )
+            strategy = "joinback" if wide else "agg"
     if strategy == "joinback":
         winners = df.groupBy(key).agg(F.max(seq_col).alias(seq_col))
         if broadcast_winners:

@@ -69,3 +69,25 @@ def test_decode_drops_corrupt_rows(spark):
     df = to_spark(spark, pdf)
     out = decode_and_validate(df.drop("tokens"))
     assert out.count() == len(pdf) - n_bad
+
+
+def test_joinback_identical_to_agg(spark):
+    df = _df(
+        spark,
+        GenSpec(n_docs=20, n_events=600, hot_keys=3, hot_frac=0.4, retransmit_frac=0.2),
+    )
+    agg = _winners(compact_lww(df, strategy="agg").collect())
+    jb = _winners(compact_lww(df, strategy="joinback").collect())
+    jb_nb = _winners(
+        compact_lww(df, strategy="joinback", broadcast_winners=False).collect()
+    )
+    assert agg == jb == jb_nb
+
+
+def test_auto_strategy_selection(spark):
+    df = _df(spark, GenSpec(n_docs=10, n_events=100))
+    # wide payload -> joinback plan (a join shows up); salt forces agg
+    jb_plan = compact_lww(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" in jb_plan
+    agg_plan = compact_lww(df, salt=4)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in agg_plan

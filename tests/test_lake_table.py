@@ -131,3 +131,26 @@ def test_lineage_records_per_bucket(spark, tmp_path):
     # the watermark fence still advanced every touched bucket
     assert all(int(w) >= 2 for w in t.snapshot()["watermarks"].values())
     assert os.path.exists(os.path.join(str(tmp_path / "t"), "_meta", "CURRENT"))
+
+
+def test_lineage_rolls_to_side_log(spark, tmp_path):
+    from binlake_spark.lake.table import LINEAGE_KEEP, LINEAGE_LOG
+
+    t = LakeTable.create(str(tmp_path / "t"), SCHEMA, "doc_id", num_buckets=2)
+    n_epochs = LINEAGE_KEEP + 10
+    for ep in range(n_epochs):
+        merge_into(
+            spark, t, _net(spark, [("a", ep + 1, "U", [ep], 1, "web")]), epoch_id=ep
+        )
+    snap = t.snapshot()
+    assert len(snap["lineage"]) <= LINEAGE_KEEP
+    assert os.path.exists(os.path.join(t.meta_dir, LINEAGE_LOG))
+    led = t.lineage_df(spark)
+    assert led.count() == n_epochs
+    assert led.agg(F.min("epoch_id"), F.max("epoch_id")).collect()[0] == (
+        0,
+        n_epochs - 1,
+    )
+    # offsets survive the roll too
+    offs = t.bucket_offsets_df(spark)
+    assert offs.filter(F.col("epoch_id") == 0).count() == 1

@@ -92,3 +92,52 @@ def test_lineage_covers_all_epochs(spark, tmp_path):
         .collect()
     )
     assert sum(r.final_rows for r in last_per_bucket) == live
+
+
+def test_stateful_dedup_by_seq(spark, tmp_path):
+    """applyInPandasWithState fence: stale retransmits dropped across
+    micro-batches, per-key monotone seq history preserved."""
+    from binlake_spark.changelog.generator import CHANGE_LOG_SCHEMA
+    from binlake_spark.streaming import dedup_by_seq_stateful
+
+    spec = GenSpec(n_docs=40, n_events=800, events_per_epoch=200, retransmit_frac=0.3)
+    pdf = generate_change_log(spec)
+    src = str(tmp_path / "log")
+    write_change_log(pdf, src)
+
+    stream = (
+        spark.readStream.schema(CHANGE_LOG_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("doc_id", "seq", "op", "n_tok")
+    )
+    fenced = dedup_by_seq_stateful(stream)
+    q = (
+        fenced.writeStream.format("memory")
+        .queryName("fenced")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("SELECT doc_id, seq FROM fenced").collect()
+    # no duplicate (doc_id, seq) survives the fence
+    assert len(got) == len({(r.doc_id, r.seq) for r in got})
+    # the retransmit tail re-emits old seqs out of order; because epoch
+    # files replay in order, stale re-sends must be dropped: within each
+    # key the emitted seqs are exactly the distinct ones that were fresh
+    # when first seen, i.e. every emitted seq is unique per key
+    per_key = {}
+    for r in got:
+        per_key.setdefault(r.doc_id, []).append(r.seq)
+    for k, seqs in per_key.items():
+        assert len(seqs) == len(set(seqs))
+    # winner per key must match the plain batch LWW winner
+    import pandas as pd
+
+    plain = pdf.drop_duplicates(subset=["seq"]).groupby("doc_id")["seq"].max()
+    fenced_max = pd.Series(
+        {k: max(v) for k, v in per_key.items()}, name="seq"
+    ).sort_index()
+    assert fenced_max.equals(plain.sort_index().astype(fenced_max.dtype))
