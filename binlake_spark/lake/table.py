@@ -114,11 +114,33 @@ class LakeTable:
     def exists(cls, root: str) -> bool:
         return os.path.exists(os.path.join(root, META_DIR, CURRENT))
 
-    def snapshot(self) -> dict[str, Any]:
-        with open(os.path.join(self.meta_dir, CURRENT)) as f:
-            version = int(f.read().strip())
-        with open(os.path.join(self.meta_dir, f"v{version}.json")) as f:
+    def snapshot(self, version: int | None = None) -> dict[str, Any]:
+        """Current snapshot, or a specific published version (time travel)."""
+        if version is None:
+            with open(os.path.join(self.meta_dir, CURRENT)) as f:
+                version = int(f.read().strip())
+            # crash healing: the *link* of vN.json is the commit point; the
+            # CURRENT flip is only a pointer update.  A crash between the
+            # two leaves a fully-fsynced newer snapshot — adopt it.  (The
+            # losing side of a real conflict never links, so an existing
+            # newer file is always our own completed commit.)
+            while os.path.exists(os.path.join(self.meta_dir, f"v{version + 1}.json")):
+                version += 1
+        path = os.path.join(self.meta_dir, f"v{version}.json")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"snapshot v{version} does not exist (expired or never committed)"
+            )
+        with open(path) as f:
             return json.load(f)
+
+    def versions(self) -> list[int]:
+        """All published, unexpired snapshot versions, ascending."""
+        return sorted(
+            int(p[1:-5])
+            for p in os.listdir(self.meta_dir)
+            if p.startswith("v") and p.endswith(".json")
+        )
 
     def _write_snapshot(self, snap: dict[str, Any]) -> None:
         """Publish snapshot atomically: O_EXCL-like link for the version
@@ -200,6 +222,7 @@ class LakeTable:
         spark: SparkSession,
         buckets: list[int] | None = None,
         with_seq: bool = False,
+        version: int | None = None,
     ) -> DataFrame:
         """Read the current snapshot, pruned to ``buckets`` if given.
 
@@ -210,9 +233,9 @@ class LakeTable:
         exposes the system column ``_seq`` (the seq of the event that last
         wrote each row — the per-row LWW version the MERGE compares
         against; the GTID-per-row analog of the reference's consumer-side
-        dedup).
+        dedup).  ``version`` time-travels to an earlier, unexpired snapshot.
         """
-        snap = self.snapshot()
+        snap = self.snapshot(version)
         schema = T.StructType.fromJson(snap["schema"])
         if with_seq:
             schema = schema.add(T.StructField("_seq", T.LongType(), True))
@@ -317,6 +340,57 @@ class LakeTable:
     def bucket_expr(self):
         snap = self.snapshot()
         return _bucket_expr(snap["key_col"], snap["num_buckets"])
+
+    # ------------------------------------------------------------------ #
+    # maintenance
+    # ------------------------------------------------------------------ #
+    def expire_snapshots(self, keep_last: int = 2) -> dict[str, int]:
+        """Iceberg's ``expire_snapshots`` analog: drop snapshot metadata
+        older than the newest ``keep_last`` versions and delete data files
+        no kept snapshot references.
+
+        Without expiry, copy-on-write accumulates a full rewritten copy of
+        every dirty bucket per commit — at 10^5 commits the table would
+        hold orders of magnitude more dead bytes than live.  Single-writer
+        contract: only files under versions ≤ CURRENT are candidates, so an
+        in-flight commit (always writing at CURRENT+1) is never touched.
+        Returns counts: {snapshots_removed, files_removed}.
+        """
+        current = int(self.snapshot()["version"])
+        keep = [v for v in self.versions() if v <= current][-max(1, keep_last):]
+        if current not in keep:
+            keep.append(current)
+        reachable: set[str] = set()
+        for v in keep:
+            snap = self.snapshot(v)
+            for fl in snap["files"].values():
+                reachable.update(fl)
+        files_removed = 0
+        data_root = os.path.join(self.root, DATA_DIR)
+        if os.path.isdir(data_root):
+            for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
+                for fn in filenames:
+                    full = os.path.join(dirpath, fn)
+                    rel = os.path.relpath(full, self.root)
+                    commit_dir = rel.split(os.sep)[1]
+                    # only versions ≤ current are expire candidates
+                    try:
+                        cv = int(commit_dir.lstrip("cv"))
+                    except ValueError:
+                        continue
+                    if cv <= current and rel not in reachable:
+                        os.unlink(full)
+                        files_removed += 1
+                try:
+                    os.rmdir(dirpath)  # remove now-empty dirs
+                except OSError:
+                    pass
+        snaps_removed = 0
+        for v in self.versions():
+            if v <= current and v not in keep:
+                os.unlink(os.path.join(self.meta_dir, f"v{v}.json"))
+                snaps_removed += 1
+        return {"snapshots_removed": snaps_removed, "files_removed": files_removed}
 
 
 def _parse_type(ddl: str) -> T.DataType:

@@ -154,3 +154,44 @@ def test_lineage_rolls_to_side_log(spark, tmp_path):
     # offsets survive the roll too
     offs = t.bucket_offsets_df(spark)
     assert offs.filter(F.col("epoch_id") == 0).count() == 1
+
+
+def test_time_travel_read(spark, tmp_path):
+    t = LakeTable.create(str(tmp_path / "t"), SCHEMA, "doc_id", num_buckets=2)
+    merge_into(spark, t, _net(spark, [("a", 1, "I", [1], 1, "web")]), epoch_id=0)
+    v1 = t.snapshot()["version"]
+    merge_into(spark, t, _net(spark, [("a", 2, "U", [2], 1, "web")]), epoch_id=1)
+    assert t.read(spark).collect()[0].tokens == [2]
+    assert t.read(spark, version=v1).collect()[0].tokens == [1]
+    assert v1 in t.versions()
+
+
+def test_expire_snapshots(spark, tmp_path):
+    t = LakeTable.create(str(tmp_path / "t"), SCHEMA, "doc_id", num_buckets=2)
+    for ep in range(6):
+        merge_into(
+            spark, t, _net(spark, [("a", ep + 1, "U", [ep], 1, "web")]), epoch_id=ep
+        )
+    before = t.versions()
+    assert len(before) == 7  # v0 create + 6 merges
+    stats = t.expire_snapshots(keep_last=2)
+    assert stats["snapshots_removed"] == 5
+    assert stats["files_removed"] > 0
+    # current state intact, history beyond keep_last gone
+    assert t.read(spark).collect()[0].tokens == [5]
+    assert t.read(spark, version=t.versions()[0]).count() == 1
+    with pytest.raises(FileNotFoundError):
+        t.snapshot(before[0])
+
+
+def test_crash_healing_adopts_linked_snapshot(spark, tmp_path):
+    """A crash between the snapshot link and the CURRENT flip must not
+    lose the commit: the link is the commit point."""
+    t = LakeTable.create(str(tmp_path / "t"), SCHEMA, "doc_id", num_buckets=2)
+    merge_into(spark, t, _net(spark, [("a", 1, "I", [1], 1, "web")]), epoch_id=0)
+    cur = t.snapshot()["version"]
+    # simulate the crash window: roll CURRENT back one version
+    with open(os.path.join(t.meta_dir, "CURRENT"), "w") as f:
+        f.write(str(cur - 1))
+    assert t.snapshot()["version"] == cur  # healed by adoption
+    assert t.read(spark).count() == 1
