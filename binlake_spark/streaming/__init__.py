@@ -1,4 +1,14 @@
 from binlake_spark.streaming.engine import CdcEngine, DOCS_SCHEMA
+from binlake_spark.streaming.fanout import FanoutCdc, Rule
+from binlake_spark.streaming.metrics import ProgressLogger, attach_progress_logger
 from binlake_spark.streaming.stateful import dedup_by_seq_stateful
 
-__all__ = ["CdcEngine", "DOCS_SCHEMA", "dedup_by_seq_stateful"]
+__all__ = [
+    "CdcEngine",
+    "DOCS_SCHEMA",
+    "FanoutCdc",
+    "ProgressLogger",
+    "Rule",
+    "attach_progress_logger",
+    "dedup_by_seq_stateful",
+]
