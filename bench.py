@@ -108,6 +108,21 @@ def run_cdc_replay(spark, sf: float, work: str, epochs: int = 8) -> dict:
     )
     src, files, total = _cached_change_log(spec)
 
+    # steady-state warmup: run the full pipeline once on a tiny log into a
+    # throwaway table — JIT/codegen, Python workers, Arrow streams, parquet
+    # readers and the broadcast path all come up before the clock starts
+    # (a long-running ingest job lives in steady state; the bench should
+    # measure that, not JVM cold start)
+    wsrc, _, _ = _cached_change_log(
+        GenSpec(n_docs=1_000, n_events=20_000, events_per_epoch=10_000,
+                retransmit_frac=0.05, hot_keys=2, hot_frac=0.1,
+                evolution_at=10_000, seed=7)
+    )
+    wtable = CdcEngine.create_table(os.path.join(work, "warmup_docs"), num_buckets=8)
+    weng = CdcEngine(wtable)
+    weng.run_batch_replay(spark, wsrc)
+    weng.run_batch_replay(spark, wsrc)
+
     # size scan splits so every core has work each epoch: split ≈
     # epoch_bytes / 2·cores, clamped to [4 MiB, 128 MiB] (the local stand-in
     # for tuning maxPartitionBytes to the cluster; at 1000 executors the

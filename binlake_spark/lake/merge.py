@@ -109,6 +109,7 @@ def merge_into(
     enforce_watermark: bool = False,
     dirty: list[int] | None = None,
     assume_persisted: bool = False,
+    bucket_aligned: bool = False,
     extra_lineage: dict | None = None,
 ) -> MergeResult:
     """Apply one compacted change batch to the table, exactly once.
@@ -232,12 +233,17 @@ def merge_into(
         version = snap["version"] + 1
         out_rel = os.path.join("data", f"c{version}")
         out_dir = os.path.join(table.root, out_rel)
-        (
-            merged.repartition(max(1, len(dirty)), "_b")
-            .write.mode("overwrite")
-            .partitionBy("_b")
-            .parquet(out_dir)
+        # bucket_aligned: the net side arrives clustered by bucket (the
+        # compaction's repartition) and survivors stream straight from
+        # bucket files through a broadcast-probe join, so the write needs
+        # NO exchange — the existing table is never shuffled, at any
+        # number of dirty buckets.  Unaligned callers (raw merge_into on
+        # arbitrary nets) pay one clustering shuffle to avoid a file per
+        # (task, bucket).
+        writer = (
+            merged if bucket_aligned else merged.repartition(max(1, len(dirty)), "_b")
         )
+        writer.write.mode("overwrite").partitionBy("_b").parquet(out_dir)
         metrics = obs.get
         n_net = int(metrics["n_events"] or 0)
 

@@ -108,6 +108,62 @@ def compact_lww(
     return winners.select(key, "_p.*")
 
 
+def dedup_first_arrow(df: DataFrame, key: str) -> DataFrame:
+    """Keep the first row per key *within each partition* — one Arrow pass,
+    no shuffle, no per-row Python.
+
+    Correct as a global dedup only when rows of one key are already
+    colocated (e.g. after ``repartition`` on the key or on a deterministic
+    function of it, like the storage bucket).  The whole partition is
+    concatenated in memory; callers bound partition size (winners/P rows).
+    """
+    schema = df.schema
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        batches = [b for b in batches if b.num_rows]
+        if not batches:
+            return
+        tbl = pa.Table.from_batches(batches).combine_chunks()
+        enc = pc.dictionary_encode(tbl.column(key).chunk(0))
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        _, first = np.unique(idx, return_index=True)
+        out = tbl.take(pa.array(np.sort(first)))
+        yield from out.to_batches()
+
+    return df.mapInArrow(fn, schema)
+
+
+def compact_lww_bucketed(
+    df: DataFrame,
+    key: str = "doc_id",
+    seq_col: str = "seq",
+    bucket_col_expr=None,
+    num_partitions: int | None = None,
+    broadcast_winners: bool = True,
+) -> DataFrame:
+    """Joinback compaction that lands winners **already clustered by their
+    storage bucket** (`_bucket` column attached), so the downstream
+    copy-on-write write needs no further exchange — survivors stream from
+    bucket files to bucket files and only the |winners|-sized net side is
+    ever shuffled (once, here).
+
+    This is the one wide shuffle of the epoch; everything else is narrow.
+    """
+    winners = df.groupBy(key).agg(F.max(seq_col).alias(seq_col))
+    if broadcast_winners:
+        winners = F.broadcast(winners)
+    matched = df.join(winners, [key, seq_col], "inner")
+    if bucket_col_expr is not None:
+        matched = matched.withColumn("_bucket", bucket_col_expr)
+    part = matched.repartition(num_partitions or 32, "_bucket")
+    # same-key rows share a bucket, so partition-local first == global LWW
+    return dedup_first_arrow(part, key)
+
+
 def compact_lww_pandas(
     df: DataFrame,
     key: str = "doc_id",

@@ -41,7 +41,7 @@ from pyspark.sql import types as T
 from binlake_spark.changelog.generator import CHANGE_LOG_SCHEMA
 from binlake_spark.lake.merge import MergeResult, merge_into
 from binlake_spark.lake.table import LakeTable
-from binlake_spark.operators.compaction import compact_lww
+from binlake_spark.operators.compaction import compact_lww, compact_lww_bucketed
 from binlake_spark.operators.decode import decode_and_validate
 
 DOCS_SCHEMA = T.StructType(
@@ -136,24 +136,39 @@ class CdcEngine:
             df = df.filter(F.size("tokens") == F.col("n_tok"))
 
         # 2. net-change compaction FIRST: one winner per doc_id (LWW by
-        #    seq).  joinback keeps payload bytes out of the wide shuffle;
-        #    the salted two-stage agg remains available for adversarial
-        #    skew (see __init__).  The groupBy IS the explicit hash
-        #    partitioning on the business key.
-        strategy = "agg" if self.salt else "auto"
-        net = compact_lww(
-            df, key="doc_id", seq_col="seq", salt=self.salt, strategy=strategy
-        )
+        #    seq).  Default path (`compact_lww_bucketed`): winner keys only
+        #    through the aggregation, payloads fetched by join-back, and
+        #    the winners land repartitioned by their storage bucket — the
+        #    ONE wide shuffle of the epoch; the write then needs no
+        #    exchange at all.  The salted two-stage agg remains available
+        #    for adversarial skew (see __init__).
+        bucket_aligned = False
+        if self.salt:
+            net = compact_lww(
+                df, key="doc_id", seq_col="seq", salt=self.salt, strategy="agg"
+            )
+        else:
+            net = compact_lww_bucketed(
+                df,
+                key="doc_id",
+                seq_col="seq",
+                bucket_col_expr=self.table.bucket_expr(),
+                num_partitions=int(self.table.snapshot()["num_buckets"]),
+            )
+            bucket_aligned = True
 
         # 3. Arrow decode on winners only: payload bytes → array<int32>
+        #    (narrow — bucket clustering survives)
         if has_payload:
             if self.decode_partitions:
+                # coalesce merges whole partitions — bucket colocation holds
                 net = net.coalesce(self.decode_partitions)
             net = decode_and_validate(net)
 
-        # attach the target bucket now so one metadata job covers both the
-        # dirty-bucket list and schema evolution detection
-        net = net.withColumn("_bucket", self.table.bucket_expr())
+        # attach the target bucket (bucketed compaction already carries it)
+        # so one metadata job covers dirty buckets + schema evolution
+        if "_bucket" not in net.columns:
+            net = net.withColumn("_bucket", self.table.bucket_expr())
 
         phases: dict[str, int] = {}
         t0 = time.monotonic()
@@ -198,6 +213,7 @@ class CdcEngine:
                 stream_id=self.stream_id,
                 dirty=dirty,
                 assume_persisted=True,
+                bucket_aligned=bucket_aligned,
                 extra_lineage={"phase_ms": phases},
             )
         finally:

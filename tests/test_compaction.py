@@ -91,3 +91,26 @@ def test_auto_strategy_selection(spark):
     assert "Join" in jb_plan
     agg_plan = compact_lww(df, salt=4)._jdf.queryExecution().optimizedPlan().toString()
     assert "Join" not in agg_plan
+
+
+def test_bucketed_compaction_identical_winners(spark):
+    from pyspark.sql import functions as F
+
+    from binlake_spark.operators.compaction import compact_lww_bucketed
+
+    df = _df(
+        spark,
+        GenSpec(n_docs=25, n_events=700, hot_keys=2, hot_frac=0.3, retransmit_frac=0.2),
+    )
+    plain = _winners(compact_lww(df, strategy="agg").collect())
+    bexpr = F.pmod(F.hash(F.col("doc_id")), F.lit(8)).cast("int")
+    bucketed = compact_lww_bucketed(
+        df, bucket_col_expr=bexpr, num_partitions=8
+    )
+    rows = bucketed.collect()
+    assert _winners(rows) == plain
+    # bucket column is attached and consistent with the key hash
+    for r in rows:
+        assert r._bucket is not None
+    # exactly one row per key even for hot keys with duplicate retransmits
+    assert len(rows) == len({r.doc_id for r in rows})
