@@ -108,7 +108,7 @@ def compact_lww(
     return winners.select(key, "_p.*")
 
 
-def dedup_first_arrow(df: DataFrame, key: str) -> DataFrame:
+def dedup_first_arrow(df: DataFrame, key: str, batch_fn=None, out_schema=None) -> DataFrame:
     """Keep the first row per key *within each partition* — one Arrow pass,
     no shuffle, no per-row Python.
 
@@ -116,8 +116,12 @@ def dedup_first_arrow(df: DataFrame, key: str) -> DataFrame:
     colocated (e.g. after ``repartition`` on the key or on a deterministic
     function of it, like the storage bucket).  The whole partition is
     concatenated in memory; callers bound partition size (winners/P rows).
+
+    ``batch_fn`` (RecordBatch → RecordBatch, with ``out_schema``) fuses a
+    further vectorized transform (e.g. payload decode) into the same
+    Python/Arrow round trip — winners cross the JVM↔Arrow boundary once.
     """
-    schema = df.schema
+    schema = out_schema or df.schema
 
     def fn(batches):
         import numpy as np
@@ -132,7 +136,8 @@ def dedup_first_arrow(df: DataFrame, key: str) -> DataFrame:
         idx = enc.indices.to_numpy(zero_copy_only=False)
         _, first = np.unique(idx, return_index=True)
         out = tbl.take(pa.array(np.sort(first)))
-        yield from out.to_batches()
+        for b in out.to_batches():
+            yield batch_fn(b) if batch_fn is not None else b
 
     return df.mapInArrow(fn, schema)
 
@@ -144,6 +149,8 @@ def compact_lww_bucketed(
     bucket_col_expr=None,
     num_partitions: int | None = None,
     broadcast_winners: bool = True,
+    batch_fn=None,
+    out_schema=None,
 ) -> DataFrame:
     """Joinback compaction that lands winners **already clustered by their
     storage bucket** (`_bucket` column attached), so the downstream
@@ -160,8 +167,9 @@ def compact_lww_bucketed(
     if bucket_col_expr is not None:
         matched = matched.withColumn("_bucket", bucket_col_expr)
     part = matched.repartition(num_partitions or 32, "_bucket")
-    # same-key rows share a bucket, so partition-local first == global LWW
-    return dedup_first_arrow(part, key)
+    # same-key rows share a bucket, so partition-local first == global LWW;
+    # batch_fn (e.g. payload decode) fuses into the same Arrow pass
+    return dedup_first_arrow(part, key, batch_fn=batch_fn, out_schema=out_schema)
 
 
 def compact_lww_pandas(

@@ -79,20 +79,13 @@ def decode_and_validate_batch(
     return out
 
 
-def decode_and_validate(
-    df: DataFrame,
+def decoded_schema(
+    in_schema: T.StructType,
     payload_col: str = "payload",
     tokens_col: str = "tokens",
-    n_tok_col: str = "n_tok",
-    op_col: str = "op",
-    drop_invalid: bool = True,
-) -> DataFrame:
-    """Spark-side wrapper: ``mapInArrow`` over the event stream.
-
-    Output schema = input schema with ``payload`` replaced by the decoded
-    ``tokens: array<int>`` (position preserved where possible).
-    """
-    in_schema = df.schema
+) -> T.StructType:
+    """Schema after decode: ``payload`` replaced by ``tokens: array<int>``
+    (position preserved where possible)."""
     fields = []
     seen_tokens = False
     for f in in_schema.fields:
@@ -105,7 +98,19 @@ def decode_and_validate(
             fields.append(f)
     if not seen_tokens:
         fields.append(T.StructField(tokens_col, T.ArrayType(T.IntegerType()), True))
-    out_schema = T.StructType(fields)
+    return T.StructType(fields)
+
+
+def decode_and_validate(
+    df: DataFrame,
+    payload_col: str = "payload",
+    tokens_col: str = "tokens",
+    n_tok_col: str = "n_tok",
+    op_col: str = "op",
+    drop_invalid: bool = True,
+) -> DataFrame:
+    """Spark-side wrapper: ``mapInArrow`` over the event stream."""
+    out_schema = decoded_schema(df.schema, payload_col, tokens_col)
 
     def fn(batches):
         for b in batches:

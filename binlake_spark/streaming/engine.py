@@ -42,7 +42,11 @@ from binlake_spark.changelog.generator import CHANGE_LOG_SCHEMA
 from binlake_spark.lake.merge import MergeResult, merge_into
 from binlake_spark.lake.table import LakeTable
 from binlake_spark.operators.compaction import compact_lww, compact_lww_bucketed
-from binlake_spark.operators.decode import decode_and_validate
+from binlake_spark.operators.decode import (
+    decode_and_validate,
+    decode_and_validate_batch,
+    decoded_schema,
+)
 
 DOCS_SCHEMA = T.StructType(
     [
@@ -147,23 +151,31 @@ class CdcEngine:
             net = compact_lww(
                 df, key="doc_id", seq_col="seq", salt=self.salt, strategy="agg"
             )
+            if has_payload:
+                if self.decode_partitions:
+                    net = net.coalesce(self.decode_partitions)
+                net = decode_and_validate(net)
         else:
+            # payload decode fused into the dedup's Arrow pass: winners
+            # cross the JVM↔Python boundary exactly once per epoch
+            batch_fn = out_schema = None
+            if has_payload:
+                bucketed_schema = T.StructType(
+                    list(df.schema.fields)
+                    + [T.StructField("_bucket", T.IntegerType(), True)]
+                )
+                out_schema = decoded_schema(bucketed_schema)
+                batch_fn = decode_and_validate_batch
             net = compact_lww_bucketed(
                 df,
                 key="doc_id",
                 seq_col="seq",
                 bucket_col_expr=self.table.bucket_expr(),
                 num_partitions=int(self.table.snapshot()["num_buckets"]),
+                batch_fn=batch_fn,
+                out_schema=out_schema,
             )
             bucket_aligned = True
-
-        # 3. Arrow decode on winners only: payload bytes → array<int32>
-        #    (narrow — bucket clustering survives)
-        if has_payload:
-            if self.decode_partitions:
-                # coalesce merges whole partitions — bucket colocation holds
-                net = net.coalesce(self.decode_partitions)
-            net = decode_and_validate(net)
 
         # attach the target bucket (bucketed compaction already carries it)
         # so one metadata job covers dirty buckets + schema evolution
