@@ -1080,3 +1080,77 @@ def cdc_order_grades(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("part").alias("n_parts"),
     )
+
+
+# --------------------------------------------------------------------- #
+# Streaming operators — rows-only (stateful/checkpointed; not ANSI-SQL)
+# --------------------------------------------------------------------- #
+@_register("cdc_stateful_fence")
+def cdc_stateful_fence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState per-key retransmit fence over a synthetic
+    stream with a 30% duplicate tail: emits only fresh (doc_id, seq)
+    events across micro-batches.  Exactness vs the batch LWW winner is
+    asserted in tests/test_streaming.py::test_stateful_dedup_by_seq."""
+    import tempfile
+
+    from binlake_spark.changelog import GenSpec, generate_change_log, write_change_log
+    from binlake_spark.changelog.generator import CHANGE_LOG_SCHEMA
+    from binlake_spark.streaming import dedup_by_seq_stateful
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    n = max(1_000, int(100_000 * float(sf)))
+    work = tempfile.mkdtemp(prefix="binlake_fence_q_")
+    pdf = generate_change_log(
+        GenSpec(n_docs=n // 25, n_events=n, events_per_epoch=n // 3,
+                retransmit_frac=0.3)
+    )
+    write_change_log(pdf, f"{work}/log")
+    stream = (
+        spark.readStream.schema(CHANGE_LOG_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/log")
+        .select("doc_id", "seq", "op", "n_tok")
+    )
+    q = (
+        dedup_by_seq_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("binlake_fence_q")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        "SELECT doc_id, count(*) AS n_emitted, max(seq) AS max_seq"
+        " FROM binlake_fence_q GROUP BY doc_id"
+    )
+
+
+@_register("cdc_fanout_replay")
+def cdc_fanout_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule fan-out end-to-end: one stream into two lake tables (all rows
+    vs source='web'), per-rule epoch guards; returns per-rule final row
+    counts + applied epochs from the lineage."""
+    import tempfile
+
+    from binlake_spark.changelog import GenSpec, generate_change_log, write_change_log
+    from binlake_spark.streaming import CdcEngine, FanoutCdc, Rule
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    n = max(2_000, int(100_000 * float(sf)))
+    work = tempfile.mkdtemp(prefix="binlake_fanout_q_")
+    pdf = generate_change_log(
+        GenSpec(n_docs=n // 25, n_events=n, events_per_epoch=n // 3,
+                retransmit_frac=0.1, hot_keys=2, hot_frac=0.2)
+    )
+    write_change_log(pdf, f"{work}/log")
+    t_all = CdcEngine.create_table(f"{work}/all", num_buckets=8)
+    t_web = CdcEngine.create_table(f"{work}/web", num_buckets=8)
+    fan = FanoutCdc([Rule("all", t_all), Rule("web", t_web, predicate="source = 'web'")])
+    fan.run_stream(spark, f"{work}/log", f"{work}/ckpt", max_files_per_trigger=2)
+    rows = [
+        ("all", t_all.read(spark).count(), t_all.last_epoch("all") + 1),
+        ("web", t_web.read(spark).count(), t_web.last_epoch("web") + 1),
+    ]
+    return spark.createDataFrame(rows, "rule string, n_rows long, n_epochs int")
