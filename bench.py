@@ -87,13 +87,13 @@ def _cached_change_log(spec) -> tuple[str, list[str], int]:
     return root, files, len(pdf)
 
 
-def run_cdc_replay(spark, sf: float, work: str, epochs: int = 8) -> dict:
+def run_cdc_replay(spark, sf: float, work: str, epochs: int = 4) -> dict:
     """The headline metric: events/sec through the full exactly-once path."""
     from binlake_spark.changelog import GenSpec
     from binlake_spark.streaming import CdcEngine
 
     n_events = int(
-        os.environ.get("BINLAKE_BENCH_EVENTS", max(20_000, int(4_000_000 * sf)))
+        os.environ.get("BINLAKE_BENCH_EVENTS", max(50_000, int(8_000_000 * sf)))
     )
     epochs = int(os.environ.get("BINLAKE_BENCH_EPOCHS", epochs))
     spec = GenSpec(

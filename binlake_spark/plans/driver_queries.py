@@ -75,8 +75,12 @@ def _changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lww(df: DataFrame) -> DataFrame:
-    w = W.partitionBy("doc_id").orderBy(F.col("seq").desc())
-    return df.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    """One winner per doc_id by max seq — the engine's joinback plan
+    (winner-keys aggregate + broadcast join-back; operators/compaction.py)
+    rather than a window sort: seq is unique per event, so the join is
+    exact and the payload never enters a wide shuffle."""
+    winners = df.groupBy("doc_id").agg(F.max("seq").alias("seq"))
+    return df.join(F.broadcast(winners), ["doc_id", "seq"], "inner")
 
 
 @_register(
