@@ -50,6 +50,7 @@ def rate_changelog_stream(
     rows_per_second: int = 10_000,
     n_docs: int = 100_000,
     tokens_per_doc: int = 16,
+    with_payload: bool = True,
 ) -> DataFrame:
     """Deterministic synthetic envelope stream from the rate source.
 
@@ -57,6 +58,13 @@ def rate_changelog_stream(
     ``seq``), so two runs at any parallelism produce the same logical
     stream.  Token payloads are generated as packed int32 bytes JVM-side
     so the stream exercises the same Arrow decode path as the file log.
+
+    ``with_payload=False`` omits the packed-binary column and ships the
+    token array directly: the SQL byte-packing (chr/concat fold) costs
+    more than the entire ingest pipeline, so soak tests that want to
+    measure the *engine* use the tokens-only envelope (the payload decode
+    path is covered by the file-based bench, whose payloads are packed
+    once by the generator).
     """
     rate = (
         spark.readStream.format("rate")
@@ -66,17 +74,28 @@ def rate_changelog_stream(
     seq = F.col("value") + 1
     doc = F.pmod(F.hash(seq.cast("string")), F.lit(n_docs))
     opsel = F.pmod(seq, F.lit(15))
-    tok = F.transform(
-        F.sequence(F.lit(0), F.lit(tokens_per_doc - 1)),
-        lambda i: F.pmod(F.hash(seq.cast("string"), i.cast("string")), F.lit(VOCAB)).cast(
-            "int"
-        ),
-    )
+    if with_payload:
+        tok = F.transform(
+            F.sequence(F.lit(0), F.lit(tokens_per_doc - 1)),
+            lambda i: F.pmod(
+                F.hash(seq.cast("string"), i.cast("string")), F.lit(VOCAB)
+            ).cast("int"),
+        )
+    else:
+        # soak mode: one hash per row, not per token — generation must cost
+        # less than the pipeline being measured
+        base = F.pmod(F.hash(seq), F.lit(VOCAB - tokens_per_doc))
+        tok = F.transform(
+            F.sequence(F.lit(0), F.lit(tokens_per_doc - 1)),
+            lambda i: (base + i).cast("int"),
+        )
     # pack int32 little-endian: 4 bytes per token via concat of substrings
-    payload = F.aggregate(
-        tok, F.lit(b""), lambda acc, t: F.concat(acc, _int32_le(t))
+    payload = (
+        F.aggregate(tok, F.lit(b""), lambda acc, t: F.concat(acc, _int32_le(t)))
+        if with_payload
+        else None
     )
-    return rate.select(
+    cols = [
         seq.cast("long").alias("seq"),
         F.concat(F.lit("00000000-0000-0000-0000-"), F.lpad(F.pmod(seq, F.lit(2)).cast("string"), 12, "0")).alias("server_uuid"),
         (seq / 2).cast("long").alias("gno"),
@@ -90,11 +109,12 @@ def rate_changelog_stream(
             F.array(F.lit("web"), F.lit("books"), F.lit("code"), F.lit("wiki")),
             (F.pmod(seq, F.lit(4)) + 1).cast("int"),
         ).alias("source"),
-        payload.alias("payload"),
+        *([payload.alias("payload")] if payload is not None else []),
         F.lit(1).cast("int").alias("schema_ver"),
         F.map_from_arrays(F.array(), F.array()).cast("map<string,string>").alias("extra"),
         F.lit(0).cast("int").alias("epoch_hint"),
-    )
+    ]
+    return rate.select(*cols)
 
 
 def _int32_le(t):
