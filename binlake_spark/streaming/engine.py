@@ -67,6 +67,8 @@ class CdcEngine:
         decode_payload: bool = True,
         promote_extra: bool = True,
         decode_partitions: int | None = None,
+        expire_every: int | None = 16,
+        expire_keep_last: int = 4,
     ):
         """``salt``: two-stage compaction for pathological key skew.  Note
         that ordinary hot keys are already absorbed by ``max_by``'s
@@ -80,6 +82,12 @@ class CdcEngine:
         (every core busy); set this lower only when winners per epoch are
         tiny and the fixed Python-worker/Arrow handshake (~50-100 ms/task)
         dominates.
+
+        ``expire_every`` / ``expire_keep_last``: run
+        :meth:`LakeTable.expire_snapshots` after every Nth committed table
+        version, keeping the last K snapshots for time travel and
+        concurrent readers (None disables — snapshots then accumulate a
+        dead copy of every dirty bucket per epoch).
         """
         self.table = table
         self.stream_id = stream_id
@@ -87,6 +95,8 @@ class CdcEngine:
         self.decode_payload = decode_payload
         self.promote_extra = promote_extra
         self.decode_partitions = decode_partitions
+        self.expire_every = expire_every
+        self.expire_keep_last = expire_keep_last
 
     # ------------------------------------------------------------------ #
     @classmethod
@@ -217,7 +227,7 @@ class CdcEngine:
             phases["evolve_ms"] = int((time.monotonic() - t1) * 1000)
 
             # 5. idempotent COW MERGE + lineage, committed atomically
-            return merge_into(
+            result = merge_into(
                 spark,
                 self.table,
                 net,
@@ -228,6 +238,18 @@ class CdcEngine:
                 bucket_aligned=bucket_aligned,
                 extra_lineage={"phase_ms": phases},
             )
+            # 6. periodic maintenance: expire dead COW rewrites (a
+            # long-running ingest otherwise accumulates a full copy of
+            # every dirty bucket per epoch); keep_last snapshots remain
+            # for time travel / concurrent readers
+            if (
+                result.applied
+                and self.expire_every
+                and result.version
+                and result.version % self.expire_every == 0
+            ):
+                self.table.expire_snapshots(keep_last=self.expire_keep_last)
+            return result
         finally:
             cached.unpersist()
 

@@ -84,3 +84,24 @@ def test_delete_then_reinsert_ordering(spark, tmp_path):
     assert_state_equals_oracle(spark, engine, pdf)
     live = {r.doc_id for r in engine.read_state(spark).collect()}
     assert "doc000001" in live  # reinserted after delete
+
+
+def test_auto_expiry_bounds_storage_and_keeps_state(spark, tmp_path):
+    """Engine-driven expire_snapshots: storage stays bounded across many
+    epochs and the final state is still oracle-exact."""
+    import os
+
+    spec = GenSpec(n_docs=60, n_events=1200, events_per_epoch=150, retransmit_frac=0.1)
+    pdf = generate_change_log(spec)
+    src = str(tmp_path / "log")
+    write_change_log(pdf, src)
+    table = CdcEngine.create_table(str(tmp_path / "docs"), num_buckets=4)
+    engine = CdcEngine(table, expire_every=3, expire_keep_last=2)
+    engine.run_stream(spark, src, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    assert table.last_epoch("cdc") >= 7
+    # snapshots bounded: at most keep_last + expire_every versions on disk
+    assert len(table.versions()) <= 2 + 3
+    # dead data dirs are gone too: commit dirs on disk ≤ kept versions
+    data_dirs = os.listdir(os.path.join(str(tmp_path / "docs"), "data"))
+    assert len(data_dirs) <= 2 + 3
+    assert_state_equals_oracle(spark, engine, pdf)
