@@ -310,3 +310,195 @@ def merge_into(
     finally:
         if own_persist:
             net.unpersist()
+
+
+def merge_into_mor(
+    spark: SparkSession,
+    table: LakeTable,
+    net: DataFrame,
+    *,
+    epoch_id: int = 0,
+    stream_id: str = "default",
+    seq_col: str = "seq",
+    op_col: str = "op",
+    dirty: list[int] | None = None,
+    assume_persisted: bool = False,
+    bucket_aligned: bool = False,
+    extra_lineage: dict | None = None,
+) -> MergeResult:
+    """Merge-on-read apply: append the compacted net changes (upserts AND
+    delete tombstones) as per-bucket **delta files**; LWW resolution moves
+    to read time (LakeTable.read) and to :func:`compact_buckets`.
+
+    This is the scale path for the regime our COW bench exposed: when an
+    epoch's keys touch every bucket (uniform key distribution — the common
+    case for doc_id ingest), copy-on-write rewrites the *whole table* per
+    epoch, so write cost grows with table size, not batch size.  MOR
+    writes exactly |winners| rows per epoch regardless of table size, at
+    the price of an LWW aggregation on read until compaction folds the
+    deltas down (Iceberg v2 positional/equality deletes play the same
+    trade).  Exactly-once layering is unchanged: epoch guard + per-row
+    ``_seq`` (stale retransmitted deltas lose the read-time max_by; a
+    replayed epoch is skipped outright).
+    """
+    t0 = time.monotonic()
+    snap = table.snapshot()
+    key = snap["key_col"]
+    num_buckets = snap["num_buckets"]
+
+    if epoch_id <= int(snap["epochs"].get(stream_id, -1)):
+        return MergeResult(
+            applied=False, epoch_id=epoch_id, skipped_reason="epoch-already-applied"
+        )
+
+    if "_bucket" not in net.columns:
+        net = net.withColumn(
+            "_bucket", F.pmod(F.hash(F.col(key)), F.lit(num_buckets)).cast("int")
+        )
+    own_persist = not assume_persisted
+    if own_persist:
+        net = net.persist()
+    try:
+        if dirty is None:
+            dirty = sorted(
+                int(r["_bucket"]) for r in net.select("_bucket").distinct().collect()
+            )
+        else:
+            dirty = sorted(int(b) for b in dirty)
+        schema = T.StructType.fromJson(snap["schema"])
+
+        obs = Observation(f"mor-{stream_id}-{epoch_id}")
+        staged = net.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col(op_col) != "D").cast("long")).alias("n_upserts"),
+            F.sum((F.col(op_col) == "D").cast("long")).alias("n_deletes"),
+            F.max(seq_col).alias("max_seq"),
+        )
+        aligned = staged.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in staged.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ],
+            F.col(seq_col).cast("long").alias("_seq"),
+            F.when(F.col(op_col) == "D", "D").otherwise("U").alias("_op"),
+            F.col("_bucket").alias("_b"),
+        )
+
+        version = snap["version"] + 1
+        out_rel = os.path.join("data", f"d{version}")
+        out_dir = os.path.join(table.root, out_rel)
+        writer = (
+            aligned if bucket_aligned else aligned.repartition(max(1, len(dirty)), "_b")
+        )
+        writer.write.mode("overwrite").partitionBy("_b").parquet(out_dir)
+        metrics = obs.get
+
+        partitions: list[dict] = []
+        deltas = {int(b): list(fl) for b, fl in snap.get("deltas", {}).items()}
+        for b in dirty:
+            bucket_dir = os.path.join(out_dir, f"_b={b}")
+            paths = sorted(glob.glob(os.path.join(bucket_dir, "*.parquet")))
+            if not paths:
+                continue
+            rel = [os.path.relpath(p, table.root) for p in paths]
+            deltas.setdefault(b, []).extend(rel)
+            n_rows, max_seq = 0, -1
+            for p in paths:
+                nr, mx = _footer_stats(p)
+                n_rows += nr
+                max_seq = max(max_seq, mx)
+            partitions.append({"bucket": b, "n_rows": n_rows, "max_seq": max_seq})
+
+        watermarks = {int(b): int(w) for b, w in snap["watermarks"].items()}
+        epoch_max = int(metrics["max_seq"] or -1)
+        for p in partitions:
+            watermarks[p["bucket"]] = max(
+                watermarks.get(p["bucket"], -1), p["max_seq"], epoch_max
+            )
+
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        snap["version"] = version
+        snap["deltas"] = {str(b): fl for b, fl in sorted(deltas.items())}
+        snap["watermarks"] = {str(b): w for b, w in sorted(watermarks.items())}
+        snap["epochs"][stream_id] = epoch_id
+        snap["lineage"].append(
+            {
+                "kind": "merge",
+                "mode": "mor",
+                "stream_id": stream_id,
+                "epoch_id": epoch_id,
+                "version": version,
+                "wall_ms": wall_ms,
+                "n_events": int(metrics["n_events"] or 0),
+                "n_upserts": int(metrics["n_upserts"] or 0),
+                "n_deletes": int(metrics["n_deletes"] or 0),
+                "partitions": partitions,
+                **(extra_lineage or {}),
+            }
+        )
+        table._write_snapshot(snap)
+        return MergeResult(
+            applied=True,
+            epoch_id=epoch_id,
+            version=version,
+            n_net=int(metrics["n_events"] or 0),
+            n_dirty_buckets=len(dirty),
+            wall_ms=wall_ms,
+            partitions=partitions,
+        )
+    finally:
+        if own_persist:
+            net.unpersist()
+
+
+def compact_buckets(
+    spark: SparkSession,
+    table: LakeTable,
+    min_deltas: int = 1,
+) -> dict:
+    """Fold merge-on-read deltas into the base (the maintenance half of
+    MOR — Iceberg's ``rewrite_data_files`` analog): buckets carrying at
+    least ``min_deltas`` delta files are LWW-resolved (base ∪ deltas,
+    max ``_seq`` per key, tombstones dropped) and rewritten; their delta
+    list empties in the same atomic snapshot.  Amortized cost equals what
+    COW would have paid spread over the delta window.
+    """
+    snap = table.snapshot()
+    todo = sorted(
+        int(b) for b, fl in snap.get("deltas", {}).items() if len(fl) >= min_deltas
+    )
+    if not todo:
+        return {"compacted_buckets": 0, "version": snap["version"]}
+    resolved = table.read(spark, buckets=todo, with_seq=True).withColumn(
+        "_b",
+        F.pmod(F.hash(F.col(snap["key_col"])), F.lit(snap["num_buckets"])).cast("int"),
+    )
+    version = snap["version"] + 1
+    out_rel = os.path.join("data", f"c{version}")
+    out_dir = os.path.join(table.root, out_rel)
+    resolved.repartition(max(1, len(todo)), "_b").write.mode("overwrite").partitionBy(
+        "_b"
+    ).parquet(out_dir)
+
+    files = {int(b): fl for b, fl in snap["files"].items()}
+    deltas = {int(b): fl for b, fl in snap.get("deltas", {}).items()}
+    for b in todo:
+        bucket_dir = os.path.join(out_dir, f"_b={b}")
+        paths = sorted(glob.glob(os.path.join(bucket_dir, "*.parquet")))
+        rel = [os.path.relpath(p, table.root) for p in paths]
+        if rel:
+            files[b] = rel
+        else:
+            files.pop(b, None)  # bucket fully deleted by tombstones
+        deltas.pop(b, None)
+    snap["version"] = version
+    snap["files"] = {str(b): fl for b, fl in sorted(files.items())}
+    snap["deltas"] = {str(b): fl for b, fl in sorted(deltas.items())}
+    snap["lineage"].append(
+        {"kind": "compact", "version": version, "buckets": todo}
+    )
+    table._write_snapshot(snap)
+    return {"compacted_buckets": len(todo), "version": version}

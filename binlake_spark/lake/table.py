@@ -98,8 +98,11 @@ class LakeTable:
             "key_col": key_col,
             "num_buckets": num_buckets,
             "properties": properties or {},
-            # bucket -> [data file paths relative to root]
+            # bucket -> [base data file paths relative to root]
             "files": {},
+            # bucket -> [merge-on-read delta file paths] (LWW at read;
+            # folded into base by compact_buckets)
+            "deltas": {},
             # bucket -> highest applied seq (retransmit fence)
             "watermarks": {},
             # stream_id -> last applied epoch id (idempotence guard)
@@ -234,18 +237,67 @@ class LakeTable:
         wrote each row — the per-row LWW version the MERGE compares
         against; the GTID-per-row analog of the reference's consumer-side
         dedup).  ``version`` time-travels to an earlier, unexpired snapshot.
+
+        Merge-on-read: buckets with outstanding delta files are resolved
+        here — base ∪ deltas reduced to the max-``_seq`` row per key with
+        tombstones dropped (one LWW aggregation over just those buckets).
+        Buckets without deltas take the zero-overhead base-only path.
         """
         snap = self.snapshot(version)
+        key = snap["key_col"]
         schema = T.StructType.fromJson(snap["schema"])
-        if with_seq:
-            schema = schema.add(T.StructField("_seq", T.LongType(), True))
-        files: list[str] = []
-        for b, fl in snap["files"].items():
-            if buckets is None or int(b) in buckets:
-                files.extend(os.path.join(self.root, p) for p in fl)
-        if not files:
-            return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(*files)
+        read_schema = schema.add(T.StructField("_seq", T.LongType(), True))
+        out_schema = read_schema if with_seq else schema
+
+        def _paths(mapping) -> list[str]:
+            out = []
+            for b, fl in mapping.items():
+                if buckets is None or int(b) in buckets:
+                    out.extend(os.path.join(self.root, p) for p in fl)
+            return out
+
+        delta_map = {
+            b: fl for b, fl in snap.get("deltas", {}).items() if fl
+        }
+        delta_files = _paths(delta_map)
+        delta_buckets = {int(b) for b in delta_map}
+        base_clean = _paths(
+            {b: fl for b, fl in snap["files"].items() if int(b) not in delta_buckets}
+        )
+        base_dirty = _paths(
+            {b: fl for b, fl in snap["files"].items() if int(b) in delta_buckets}
+        )
+
+        def _finish(df: DataFrame) -> DataFrame:
+            return df if with_seq else df.drop("_seq")
+
+        clean = (
+            spark.read.schema(read_schema).parquet(*base_clean)
+            if base_clean
+            else spark.createDataFrame([], read_schema)
+        )
+        if not delta_files:
+            return _finish(clean)
+
+        mor_schema = read_schema.add(T.StructField("_op", T.StringType(), True))
+        deltas = spark.read.schema(mor_schema).parquet(*delta_files)
+        dirty_base = (
+            spark.read.schema(read_schema).parquet(*base_dirty)
+            if base_dirty
+            else spark.createDataFrame([], read_schema)
+        ).withColumn("_op", F.lit("U"))
+        packed = F.struct(
+            *[F.col(f.name) for f in mor_schema.fields if f.name != key]
+        ).alias("_p")
+        resolved = (
+            dirty_base.unionByName(deltas)
+            .groupBy(key)
+            .agg(F.max_by(packed, F.col("_seq")).alias("_p"))
+            .select(key, "_p.*")
+            .filter(F.col("_op") != "D")
+            .drop("_op")
+        )
+        return _finish(clean.unionByName(resolved))
 
     # ------------------------------------------------------------------ #
     # commit bookkeeping accessors
@@ -365,6 +417,8 @@ class LakeTable:
             snap = self.snapshot(v)
             for fl in snap["files"].values():
                 reachable.update(fl)
+            for fl in snap.get("deltas", {}).values():
+                reachable.update(fl)
         files_removed = 0
         data_root = os.path.join(self.root, DATA_DIR)
         if os.path.isdir(data_root):
@@ -375,7 +429,7 @@ class LakeTable:
                     commit_dir = rel.split(os.sep)[1]
                     # only versions ≤ current are expire candidates
                     try:
-                        cv = int(commit_dir.lstrip("cv"))
+                        cv = int(commit_dir.lstrip("cvd"))
                     except ValueError:
                         continue
                     if cv <= current and rel not in reachable:

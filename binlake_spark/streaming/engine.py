@@ -39,7 +39,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from binlake_spark.changelog.generator import CHANGE_LOG_SCHEMA
-from binlake_spark.lake.merge import MergeResult, merge_into
+from binlake_spark.lake.merge import (
+    MergeResult,
+    compact_buckets,
+    merge_into,
+    merge_into_mor,
+)
 from binlake_spark.lake.table import LakeTable
 from binlake_spark.operators.compaction import compact_lww, compact_lww_bucketed
 from binlake_spark.operators.decode import (
@@ -69,6 +74,8 @@ class CdcEngine:
         decode_partitions: int | None = None,
         expire_every: int | None = 16,
         expire_keep_last: int = 4,
+        mode: str = "cow",
+        mor_compact_every: int = 8,
     ):
         """``salt``: two-stage compaction for pathological key skew.  Note
         that ordinary hot keys are already absorbed by ``max_by``'s
@@ -88,6 +95,15 @@ class CdcEngine:
         version, keeping the last K snapshots for time travel and
         concurrent readers (None disables — snapshots then accumulate a
         dead copy of every dirty bucket per epoch).
+
+        ``mode``: ``"cow"`` (default, the north-rule contract) rewrites
+        dirty buckets each epoch — read-optimal, write cost grows with
+        table size when keys are uniform.  ``"mor"`` appends per-bucket
+        delta files (write cost = |winners|, independent of table size)
+        with LWW at read; deltas fold down via
+        :func:`binlake_spark.lake.merge.compact_buckets` every
+        ``mor_compact_every`` epochs.  Final state is identical
+        (property of per-row ``_seq`` LWW); pick by epoch-dirtiness.
         """
         self.table = table
         self.stream_id = stream_id
@@ -97,6 +113,10 @@ class CdcEngine:
         self.decode_partitions = decode_partitions
         self.expire_every = expire_every
         self.expire_keep_last = expire_keep_last
+        if mode not in ("cow", "mor"):
+            raise ValueError("mode must be 'cow' or 'mor'")
+        self.mode = mode
+        self.mor_compact_every = mor_compact_every
 
     # ------------------------------------------------------------------ #
     @classmethod
@@ -226,8 +246,10 @@ class CdcEngine:
                 net = net.drop("extra")
             phases["evolve_ms"] = int((time.monotonic() - t1) * 1000)
 
-            # 5. idempotent COW MERGE + lineage, committed atomically
-            result = merge_into(
+            # 5. idempotent MERGE + lineage, committed atomically —
+            #    copy-on-write rewrite or merge-on-read delta append
+            merge_fn = merge_into if self.mode == "cow" else merge_into_mor
+            result = merge_fn(
                 spark,
                 self.table,
                 net,
@@ -238,17 +260,22 @@ class CdcEngine:
                 bucket_aligned=bucket_aligned,
                 extra_lineage={"phase_ms": phases},
             )
-            # 6. periodic maintenance: expire dead COW rewrites (a
-            # long-running ingest otherwise accumulates a full copy of
-            # every dirty bucket per epoch); keep_last snapshots remain
-            # for time travel / concurrent readers
-            if (
-                result.applied
-                and self.expire_every
-                and result.version
-                and result.version % self.expire_every == 0
-            ):
-                self.table.expire_snapshots(keep_last=self.expire_keep_last)
+            # 6. periodic maintenance, in the engine loop like the
+            #    reference's 60 s checkpoint timer: fold MOR deltas down,
+            #    expire dead COW rewrites (keep_last stay readable for
+            #    time travel / concurrent readers)
+            if result.applied and result.version:
+                if (
+                    self.mode == "mor"
+                    and self.mor_compact_every
+                    and (int(epoch_id) + 1) % self.mor_compact_every == 0
+                ):
+                    compact_buckets(spark, self.table)
+                if (
+                    self.expire_every
+                    and self.table.snapshot()["version"] % self.expire_every == 0
+                ):
+                    self.table.expire_snapshots(keep_last=self.expire_keep_last)
             return result
         finally:
             cached.unpersist()

@@ -35,6 +35,7 @@ SECONDS = int(os.environ.get("BINLAKE_SOAK_SECONDS", "60"))
 TRIGGER = int(os.environ.get("BINLAKE_SOAK_TRIGGER", "10"))
 CPUS = int(os.environ.get("BINLAKE_BENCH_CPUS", os.environ.get("SPARK_GRAFT_CPUS", "8")))
 N_DOCS = int(os.environ.get("BINLAKE_SOAK_DOCS", "200000"))
+MODE = os.environ.get("BINLAKE_SOAK_MODE", "cow")
 
 
 def main() -> int:
@@ -46,7 +47,7 @@ def main() -> int:
     work = tempfile.mkdtemp(prefix="binlake_soak_")
     try:
         table = CdcEngine.create_table(os.path.join(work, "docs"), num_buckets=32)
-        engine = CdcEngine(table)
+        engine = CdcEngine(table, mode=MODE)
         # tokens-only envelope: the SQL byte-packing of the synthetic
         # payload costs more than the whole ingest pipeline and would
         # measure the generator, not the engine (payload decode is covered
@@ -101,6 +102,7 @@ def main() -> int:
                     "keeping_up": bool(
                         epoch_walls and epoch_walls[-1] < TRIGGER * 1000 * 2
                     ),
+                    "mode": MODE,
                     "cpus": CPUS,
                 }
             )

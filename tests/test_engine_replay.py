@@ -105,3 +105,56 @@ def test_auto_expiry_bounds_storage_and_keeps_state(spark, tmp_path):
     data_dirs = os.listdir(os.path.join(str(tmp_path / "docs"), "data"))
     assert len(data_dirs) <= 2 + 3
     assert_state_equals_oracle(spark, engine, pdf)
+
+
+def test_mor_mode_matches_oracle_and_compacts(spark, tmp_path):
+    """Merge-on-read: delta appends + read-time LWW + periodic compaction
+    land on the identical final state as COW, oracle-exact, including
+    tombstones, retransmits, hot keys, and mid-stream schema evolution."""
+    from binlake_spark.lake.merge import compact_buckets
+
+    spec = GenSpec(
+        n_docs=80, n_events=1600, events_per_epoch=200,
+        retransmit_frac=0.15, hot_keys=3, hot_frac=0.3, evolution_at=800,
+    )
+    pdf = generate_change_log(spec)
+    src = str(tmp_path / "log")
+    write_change_log(pdf, src)
+    table = CdcEngine.create_table(str(tmp_path / "docs"), num_buckets=4)
+    engine = CdcEngine(table, mode="mor", mor_compact_every=3)
+    engine.run_stream(spark, src, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    assert table.last_epoch("cdc") >= 7
+    # mid-state: some deltas outstanding or just compacted; state exact
+    assert_state_equals_oracle(spark, engine, pdf, check_lang=True)
+    # replaying an applied epoch is a no-op in MOR too
+    from binlake_spark.changelog.generator import CHANGE_LOG_SCHEMA
+
+    df = spark.read.schema(CHANGE_LOG_SCHEMA).parquet(src)
+    assert engine.apply_batch(df, epoch_id=0).skipped_reason == "epoch-already-applied"
+    # full compaction folds every delta; state unchanged, read path clean
+    compact_buckets(spark, table)
+    assert table.snapshot().get("deltas", {}) == {}
+    assert_state_equals_oracle(spark, engine, pdf, check_lang=True)
+
+
+def test_mor_write_cost_independent_of_table_size(spark, tmp_path):
+    """The MOR claim itself: an epoch's delta bytes track the batch, not
+    the table — while COW rewrites dirty buckets whole."""
+    import os
+
+    spec = GenSpec(n_docs=2000, n_events=8000, events_per_epoch=1000)
+    pdf = generate_change_log(spec)
+    src = str(tmp_path / "log")
+    write_change_log(pdf, src)
+    t_mor = CdcEngine.create_table(str(tmp_path / "mor"), num_buckets=4)
+    e_mor = CdcEngine(t_mor, mode="mor", mor_compact_every=0, expire_every=None)
+    e_mor.run_stream(spark, src, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    assert_state_equals_oracle(spark, e_mor, pdf)
+    # every merge's written rows ≈ winners of that epoch (≤ events/epoch),
+    # never the accumulated live-table size
+    merges = [e for e in t_mor._all_lineage() if e.get("kind") == "merge"]
+    live = t_mor.read(spark).count()
+    for m in merges[1:]:
+        written = sum(p["n_rows"] for p in m["partitions"])
+        assert written <= 1000  # bounded by the batch
+    assert live > 1200  # table grew well past one epoch's batch
