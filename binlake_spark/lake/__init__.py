@@ -1,4 +1,4 @@
 from binlake_spark.lake.table import LakeTable
-from binlake_spark.lake.merge import merge_into
+from binlake_spark.lake.merge import compact_buckets, merge_into, merge_into_mor
 
-__all__ = ["LakeTable", "merge_into"]
+__all__ = ["LakeTable", "compact_buckets", "merge_into", "merge_into_mor"]

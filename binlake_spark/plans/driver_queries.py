@@ -1158,3 +1158,37 @@ def cdc_fanout_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("web", t_web.read(spark).count(), t_web.last_epoch("web") + 1),
     ]
     return spark.createDataFrame(rows, "rule string, n_rows long, n_epochs int")
+
+
+@_register("cdc_engine_replay_mor")
+def cdc_engine_replay_mor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine in merge-on-read mode at driver scale: same synthetic
+    binlog as cdc_engine_replay, applied as per-bucket delta appends with
+    read-time LWW + mid-run compaction; the returned final state is
+    proven identical to COW's in tests/test_engine_replay.py."""
+    import tempfile
+
+    from binlake_spark.changelog import GenSpec, generate_change_log, write_change_log
+    from binlake_spark.streaming import CdcEngine
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    n = max(2_000, int(200_000 * float(sf)))
+    work = tempfile.mkdtemp(prefix="binlake_driver_qm_")
+    pdf = generate_change_log(
+        GenSpec(n_docs=n // 25, n_events=n, events_per_epoch=n // 4,
+                retransmit_frac=0.1, hot_keys=3, hot_frac=0.2, evolution_at=n // 2)
+    )
+    src = f"{work}/log"
+    write_change_log(pdf, src)
+    table = CdcEngine.create_table(f"{work}/docs", num_buckets=16)
+    engine = CdcEngine(table, mode="mor", mor_compact_every=2)
+    for i in range(4):
+        batch = spark.read.schema(
+            __import__(
+                "binlake_spark.changelog.generator", fromlist=["CHANGE_LOG_SCHEMA"]
+            ).CHANGE_LOG_SCHEMA
+        ).parquet(src).filter(F.col("epoch_hint") == i)
+        engine.apply_batch(batch, epoch_id=i)
+    return engine.read_state(spark).select(
+        "doc_id", "n_tok", "source", "lang", F.hash("tokens").alias("tokens_hash")
+    )
