@@ -2,6 +2,7 @@ from binlake_spark.streaming.engine import CdcEngine, DOCS_SCHEMA
 from binlake_spark.streaming.fanout import FanoutCdc, Rule
 from binlake_spark.streaming.metrics import ProgressLogger, attach_progress_logger
 from binlake_spark.streaming.stateful import dedup_by_seq_stateful
+from binlake_spark.streaming.windows import windowed_change_counts
 
 __all__ = [
     "CdcEngine",
@@ -11,4 +12,5 @@ __all__ = [
     "Rule",
     "attach_progress_logger",
     "dedup_by_seq_stateful",
+    "windowed_change_counts",
 ]

@@ -216,3 +216,51 @@ def test_progress_logger(spark, tmp_path):
     # joinback compaction scans the file source twice per batch (winner
     # keys + payload probe), so numInputRows ≥ the event count
     assert rows >= len(pdf)
+
+
+def test_windowed_change_counts_with_watermark(spark, tmp_path):
+    """Event-time tumbling windows over the change stream: counts per
+    (window, op) match a batch groupBy of the same data; the watermark
+    keeps state bounded (append mode emits only closed windows)."""
+    from binlake_spark.changelog.generator import CHANGE_LOG_SCHEMA
+    from binlake_spark.streaming import windowed_change_counts
+
+    spec = GenSpec(n_docs=40, n_events=900, events_per_epoch=300)
+    pdf = generate_change_log(spec)
+    src = str(tmp_path / "log")
+    write_change_log(pdf, src)
+
+    stream = (
+        spark.readStream.schema(CHANGE_LOG_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("doc_id", "ts", "op")
+    )
+    q = (
+        windowed_change_counts(stream, window="1 minute", watermark="2 minutes")
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.window_start, r.op): r.n_events
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    # batch truth over the same file data (append mode withholds the final
+    # not-yet-closed windows — every emitted window must match exactly)
+    batch = (
+        spark.read.schema(CHANGE_LOG_SCHEMA)
+        .parquet(src)
+        .groupBy(F.window("ts", "1 minute"), "op")
+        .count()
+        .select(F.col("window.start").alias("ws"), "op", "count")
+        .collect()
+    )
+    truth = {(r.ws, r.op): r["count"] for r in batch}
+    assert got, "no windows emitted"
+    for k, v in got.items():
+        assert truth[k] == v, k
