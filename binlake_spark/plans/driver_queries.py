@@ -1192,3 +1192,202 @@ def cdc_engine_replay_mor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.read_state(spark).select(
         "doc_id", "n_tok", "source", "lang", F.hash("tokens").alias("tokens_hash")
     )
+
+
+@_register(
+    "dedup_minhash_lsh_exact",
+    f"""
+    WITH docs2 AS ({_CLONES_SQL}),
+    words AS (
+      SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+             unnest(string_split(text, ' ')) AS w
+      FROM docs2
+    ),
+    grams AS (
+      SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+      FROM words a
+      JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      JOIN words c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    ),
+    perms AS (SELECT unnest(range(0, 16)) AS i),
+    sigs AS (
+      SELECT g.doc_id, p.i,
+             min(CAST(('0x' || substr(md5(CAST(p.i AS VARCHAR) || '|' || g.g), 1, 15))
+                      AS BIGINT)) AS h
+      FROM grams g CROSS JOIN perms p GROUP BY g.doc_id, p.i
+    ),
+    bands AS (
+      SELECT doc_id, i // 4 AS band,
+             md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY i)) AS bkey
+      FROM sigs GROUP BY doc_id, i // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS i
+      FROM cand c
+      JOIN grams x ON x.doc_id = c.doc_a
+      JOIN grams y ON y.doc_id = c.doc_b AND y.g = x.g
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) AS jaccard
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8
+    """,
+)
+def dedup_minhash_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding with a bit-exact DuckDB oracle: 16 md5-based
+    permutations (portable to both engines, unlike Spark's murmur3) →
+    min-hash signatures → 4 bands × 4 rows → band-bucket candidate join →
+    exact word-3-gram Jaccard ≥ 0.8 rerank.  The production operator
+    (operators/dedup.py minhash_lsh) uses JVM hashes for speed; this
+    variant proves the full shingle→minhash→band→bucket-join→verify
+    pipeline value-exact against an independent engine."""
+    docs2 = _clones(spark, sf_dir)
+    grams = (
+        docs2.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, greatest(size(split(text, ' ')) - 3, -1)),"
+                    " i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    perms = spark.range(16).select(F.col("id").cast("long").alias("i"))
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("i").cast("string"), F.lit("|"), F.col("g"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hv")
+    )
+    sigs = (
+        grams.crossJoin(F.broadcast(perms))
+        .select("doc_id", "i", h)
+        .groupBy("doc_id", "i")
+        .agg(F.min("hv").alias("h"))
+    )
+    bkey = F.md5(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "h"))),
+                lambda s: s["h"].cast("string"),
+            ),
+            ",",
+        )
+    )
+    bands = sigs.groupBy("doc_id", F.floor(F.col("i") / 4).alias("band")).agg(
+        bkey.alias("bkey")
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("band").alias("band"), F.col("bkey").alias("bkey")
+    )
+    cand = (
+        bands.join(right, ["band", "bkey"])
+        .filter(F.col("doc_id") < F.col("doc_b"))
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+    cnt = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    gx = grams.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("g"))
+    gy = grams.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("g"))
+    inter = (
+        cand.join(gx, "doc_a").join(gy, ["doc_b", "g"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    j = (
+        inter.join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
+        .withColumn(
+            "jr", F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+        )
+        .filter(F.col("jr") >= 0.8)
+    )
+    return j.select("doc_a", "doc_b", F.round("jr", 4).alias("jaccard"))
+
+
+@_register(
+    "dedup_simhash_exact",
+    f"""
+    WITH docs2 AS ({_CLONES_SQL}),
+    words AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM docs2
+    ),
+    bits AS (SELECT unnest(range(0, 60)) AS j),
+    contrib AS (
+      SELECT doc_id, j,
+             sum(CASE WHEN (CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) >> j) % 2
+                      = 1 THEN 1 ELSE -1 END) AS s
+      FROM words CROSS JOIN bits GROUP BY doc_id, j
+    ),
+    fps AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS fp
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT min(doc_id) AS keep_id, count(*) AS n_members, fp
+    FROM fps GROUP BY fp HAVING count(*) >= 2
+    """,
+)
+def dedup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash dedup with a bit-exact DuckDB oracle: 60-bit fingerprint
+    from md5 word hashes (portable), exact-fingerprint groups (the
+    hamming-0 grade).  The production operator (operators/dedup.py
+    simhash / simhash_near_dups) covers nonzero hamming with JVM hashes;
+    this variant proves the fingerprint construction value-exact."""
+    docs2 = _clones(spark, sf_dir)
+    words = docs2.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).distinct()
+    bits = spark.range(60).select(F.col("id").cast("long").alias("j"))
+    hv = F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
+    contrib = (
+        words.withColumn("hv", hv)
+        .crossJoin(F.broadcast(bits))
+        .select(
+            "doc_id",
+            "j",
+            F.when(F.expr("pmod(shiftright(hv, CAST(j AS INT)), 2)") == 1, 1)
+            .otherwise(-1)
+            .alias("c"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.sum("c").alias("s"))
+    )
+    fp = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "b"))),
+            lambda x: x["b"],
+        ),
+        "",
+    )
+    fps = (
+        contrib.withColumn("b", F.when(F.col("s") >= 0, "1").otherwise("0"))
+        .groupBy("doc_id")
+        .agg(fp.alias("fp"))
+    )
+    return (
+        fps.groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+        .select("keep_id", "n_members", "fp")
+    )
