@@ -25,7 +25,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-CPUS = int(os.environ.get("BINLAKE_BENCH_CPUS", os.environ.get("SPARK_GRAFT_CPUS", "32")))
+# fallback 16 when no explicit core count is given: this VM's 32 vCPUs are
+# hypervisor-oversubscribed and local[32] measures ~2.5x SLOWER than
+# local[8] on identical input (128.5k vs 52.7k events/s, BENCH.md); 16 is
+# the measured sweet spot (142.8k).  An explicit $SPARK_GRAFT_CPUS or
+# $BINLAKE_BENCH_CPUS is always honored.
+CPUS = int(os.environ.get("BINLAKE_BENCH_CPUS", os.environ.get("SPARK_GRAFT_CPUS", "16")))
 
 HEADLINE = [
     "cdc_lww_state",
@@ -92,8 +97,11 @@ def run_cdc_replay(spark, sf: float, work: str, epochs: int = 4) -> dict:
     from binlake_spark.changelog import GenSpec
     from binlake_spark.streaming import CdcEngine
 
+    # sized so per-epoch work dominates per-epoch fixed cost (~3-4 s):
+    # 500k-event epochs at sf0.1; the deterministic log is generated once
+    # and disk-cached across runs
     n_events = int(
-        os.environ.get("BINLAKE_BENCH_EVENTS", max(50_000, int(8_000_000 * sf)))
+        os.environ.get("BINLAKE_BENCH_EVENTS", max(50_000, int(20_000_000 * sf)))
     )
     epochs = int(os.environ.get("BINLAKE_BENCH_EPOCHS", epochs))
     spec = GenSpec(

@@ -17,7 +17,10 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# 16, not 32: this VM's vCPUs are hypervisor-oversubscribed and 32 busy
+# executor threads measure ~2.5x slower than 8 on identical input
+# (BENCH.md); an explicit $SPARK_GRAFT_CPUS is always honored
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
 
 
 def get_spark(
