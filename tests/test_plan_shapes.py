@@ -1,0 +1,96 @@
+"""Physical-plan regression guards for the scale properties.
+
+These assert the *plan shape* the 100 TB design depends on, so a future
+refactor that silently reintroduces a wide payload shuffle or a table
+exchange fails here, not in a cluster:
+
+1. compaction: payloads cross at most ONE exchange (the winner-sized
+   bucket repartition) — the winners aggregate exchanges only (key, seq);
+2. survivors probe: broadcast hash join, no hash-exchange on the table
+   scan side;
+3. parquet scan: filters pushed, columns pruned.
+"""
+
+import re
+
+from pyspark.sql import functions as F
+
+from binlake_spark.changelog import GenSpec, generate_change_log, write_change_log
+from binlake_spark.changelog.generator import CHANGE_LOG_SCHEMA
+from binlake_spark.operators.compaction import compact_lww_bucketed
+from binlake_spark.streaming import CdcEngine
+
+
+def _executed(df) -> str:
+    df.count()  # let AQE finalize
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _prep(spark, tmp_path, n=6000):
+    pdf = generate_change_log(
+        GenSpec(n_docs=400, n_events=n, events_per_epoch=n, evolution_at=n // 2)
+    )
+    src = str(tmp_path / "log")
+    write_change_log(pdf, src)
+    return spark.read.schema(CHANGE_LOG_SCHEMA).parquet(src)
+
+
+def test_compaction_payload_crosses_one_exchange(spark, tmp_path):
+    df = _prep(spark, tmp_path).select(
+        "doc_id", "seq", "op", "n_tok", "source", "payload", "extra"
+    )
+    net = compact_lww_bucketed(
+        df,
+        bucket_col_expr=F.pmod(F.hash("doc_id"), F.lit(8)).cast("int"),
+        num_partitions=8,
+    )
+    plan = _executed(net)
+    # exchanges: winners agg (tiny rows) + bucket repartition (winners) +
+    # ONE broadcast. No more.
+    n_shuffle = len(re.findall(r"Exchange (?:hash|Round)", plan))
+    n_broadcast = plan.count("BroadcastExchange")
+    assert n_broadcast == 1, plan
+    assert n_shuffle <= 2, f"unexpected extra shuffle:\n{plan}"
+    # the winners-aggregate exchange must NOT carry the payload column
+    agg_exchanges = [
+        seg for seg in plan.split("Exchange") if "hashpartitioning(doc_id" in seg[:120]
+    ]
+    assert agg_exchanges, plan
+
+
+def test_merge_survivors_probe_is_broadcast_no_table_shuffle(spark, tmp_path):
+    df = _prep(spark, tmp_path)
+    table = CdcEngine.create_table(str(tmp_path / "docs"), num_buckets=8)
+    engine = CdcEngine(table)
+    engine.run_batch_replay(spark, str(tmp_path / "log"))
+
+    cur = table.read(spark, with_seq=True)
+    net_small = (
+        df.groupBy("doc_id").agg(F.max("seq").alias("_in_seq"))
+    )
+    surv = (
+        cur.join(net_small, "doc_id", "left")
+        .filter(
+            F.col("_in_seq").isNull()
+            | (F.col("_in_seq") <= F.coalesce(F.col("_seq"), F.lit(-1)))
+        )
+        .drop("_in_seq")
+    )
+    plan = _executed(surv)
+    assert "BroadcastHashJoin" in plan, plan
+    # the table-scan side must stream into the join without an exchange:
+    # every hash-exchange in the plan belongs to the net aggregate, whose
+    # scan reads only (doc_id, seq)
+    for seg in plan.split("Exchange hashpartitioning")[1:]:
+        assert "payload" not in seg.split("Scan parquet")[0], plan
+
+
+def test_scan_pushdown_and_pruning(spark, tmp_path):
+    df = _prep(spark, tmp_path)
+    q = df.select("doc_id", "seq").filter(F.col("op") == "I").filter(F.col("seq") > 100)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThan\(seq", plan), plan
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(op,I\)", plan), plan
+    m = re.search(r"ReadSchema: ([^\n]+)", plan)
+    assert m and "payload" not in m.group(1) and "tokens" not in m.group(1), plan
