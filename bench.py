@@ -146,7 +146,8 @@ def run_cdc_replay(spark, sf: float, work: str, epochs: int = 4) -> dict:
     # salt off: max_by's map-side partial aggregation absorbs the generated
     # hot-key skew; the salted two-stage path is covered by tests and kept
     # for adversarial skew (see CdcEngine docstring)
-    engine = CdcEngine(table, salt=None)
+    mode = os.environ.get("BINLAKE_BENCH_ENGINE_MODE", "cow")
+    engine = CdcEngine(table, salt=None, mode=mode)
     t0 = time.monotonic()
     engine.run_stream(
         spark, src, os.path.join(work, "ckpt"), max_files_per_trigger=2

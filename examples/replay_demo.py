@@ -2,7 +2,11 @@
 query mid-stream, resume from checkpoint, and prove the final state matches
 the oracle exactly.
 
-Run:  spark-submit examples/replay_demo.py  (or plain python)
+Run:  spark-submit examples/replay_demo.py [cow|mor]  (or plain python)
+
+``mor`` replays through the merge-on-read path (delta appends + read-time
+LWW + periodic compaction) instead of copy-on-write; the oracle check is
+identical.
 """
 
 import shutil
@@ -39,8 +43,16 @@ def main() -> int:
     files = write_change_log(pdf, src)
     print(f"change log: {len(pdf)} events in {len(files)} epoch files at {src}")
 
+    mode = sys.argv[1] if len(sys.argv) > 1 else "cow"
     table = CdcEngine.create_table(f"{work}/docs", num_buckets=16)
-    engine = CdcEngine(table, salt=8)
+    # salt exercises the two-stage agg path in COW; MOR uses the default
+    # bucketed joinback
+    engine = (
+        CdcEngine(table, salt=8)
+        if mode == "cow"
+        else CdcEngine(table, mode="mor", mor_compact_every=3)
+    )
+    print(f"engine mode: {mode}")
 
     print("phase 1: streaming with maxFilesPerTrigger=1, killing after 3 epochs …")
     engine.run_stream(
