@@ -1391,3 +1391,96 @@ def dedup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_members") >= 2)
         .select("keep_id", "n_members", "fp")
     )
+
+
+@_register(
+    "sim_ann_lsh_exact",
+    f"""
+    WITH q AS ({_QEMB_SQL}),
+    bits AS (SELECT unnest(range(0, 4)) AS b),
+    dims AS (SELECT unnest(range(1, 65)) AS d),
+    r AS (
+      SELECT b.b, d.d,
+             (CAST(('0x' || substr(md5(CAST(b.b AS VARCHAR) || ',' ||
+                                       CAST(d.d AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 2001) - 1000 AS comp
+      FROM bits b CROSS JOIN dims d
+    ),
+    comps AS (
+      SELECT e.vec_id, r.b, sum(e.qe[r.d] * r.comp) AS dot
+      FROM q e CROSS JOIN r GROUP BY e.vec_id, r.b
+    ),
+    sigs AS (
+      SELECT vec_id,
+             string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY b)
+               AS bucket
+      FROM comps GROUP BY vec_id
+    ),
+    qb AS (
+      SELECT s.bucket, e.qe FROM sigs s JOIN q e ON s.vec_id = e.vec_id
+      WHERE s.vec_id = 0
+    )
+    SELECT e.vec_id, e.label,
+           CAST(list_dot_product(e.qe, qb.qe) AS BIGINT) AS dot_q
+    FROM sigs s JOIN q e ON s.vec_id = e.vec_id JOIN qb ON s.bucket = qb.bucket
+    ORDER BY dot_q DESC, e.vec_id LIMIT 10
+    """,
+)
+def sim_ann_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN with a bit-exact DuckDB oracle: 4
+    md5-derived integer hyperplanes (components in [-1000, 1000], same in
+    both engines) bucket the ×100-quantized embeddings by dot-product
+    sign; the query probes only its own bucket and reranks by exact
+    integer dot.  The production operator (operators/similarity.ann_lsh)
+    is the JVM-hash form; this proves the bucketize→probe→rerank pipeline
+    value-exact."""
+    e = _quantized_embeddings(spark, sf_dir)
+    bits = spark.range(4).select(F.col("id").cast("long").alias("b"))
+    dims = spark.range(1, 65).select(F.col("id").cast("long").alias("d"))
+    comp = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("b").cast("string"), F.lit(","), F.col("d").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2001
+        - 1000
+    ).alias("comp")
+    r = bits.crossJoin(dims).select("b", "d", comp)
+    pos = e.select(
+        "vec_id", F.posexplode("qe").alias("pos", "val")
+    ).withColumn("d", F.col("pos") + 1)
+    comps = (
+        pos.join(F.broadcast(r), "d")
+        .groupBy("vec_id", "b")
+        .agg(F.sum(F.col("val") * F.col("comp")).alias("dot"))
+    )
+    bucket = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("b", "bit"))), lambda s: s["bit"]
+        ),
+        "",
+    )
+    sigs = (
+        comps.withColumn("bit", F.when(F.col("dot") >= 0, "1").otherwise("0"))
+        .groupBy("vec_id")
+        .agg(bucket.alias("bucket"))
+    )
+    with_vec = sigs.join(e, "vec_id")
+    qb = with_vec.filter(F.col("vec_id") == 0).select(
+        "bucket", F.col("qe").alias("q_qe")
+    )
+    return (
+        with_vec.join(F.broadcast(qb), "bucket")
+        .select("vec_id", "label", _ldot(F.col("qe"), F.col("q_qe")).alias("dot_q"))
+        .orderBy(F.col("dot_q").desc(), "vec_id")
+        .limit(10)
+    )

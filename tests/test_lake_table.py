@@ -195,3 +195,32 @@ def test_crash_healing_adopts_linked_snapshot(spark, tmp_path):
         f.write(str(cur - 1))
     assert t.snapshot()["version"] == cur  # healed by adoption
     assert t.read(spark).count() == 1
+
+
+def test_enforce_watermark_fences_retransmitted_prefix(spark, tmp_path):
+    """Optional per-bucket seq fence: with a bucket-monotone source, a
+    replayed (stale) prefix is dropped before the join; fresh events pass."""
+    t = LakeTable.create(str(tmp_path / "t"), SCHEMA, "doc_id", num_buckets=2)
+    merge_into(
+        spark, t,
+        _net(spark, [("a", 10, "I", [1], 1, "web"), ("b", 20, "I", [2], 1, "web")]),
+        epoch_id=0,
+    )
+    wm_before = dict(t.snapshot()["watermarks"])
+    # epoch 1 re-sends the old events (stale seqs) plus one fresh event
+    batch = _net(
+        spark,
+        [
+            ("a", 10, "I", [9, 9], 2, "web"),   # stale retransmit (altered payload
+            ("b", 20, "I", [8, 8], 2, "web"),   #  would be wrong to apply)
+            ("c", 30, "I", [3], 1, "web"),      # fresh
+        ],
+    )
+    r = merge_into(spark, t, batch, epoch_id=1, enforce_watermark=True)
+    assert r.applied
+    rows = {x.doc_id: x.tokens for x in t.read(spark).collect()}
+    assert rows == {"a": [1], "b": [2], "c": [3]}
+    # no fence retreats: every prior watermark still holds or advanced
+    wm_after = t.snapshot()["watermarks"]
+    for b, w in wm_before.items():
+        assert int(wm_after[b]) >= int(w)
