@@ -144,9 +144,9 @@ def cdc_retransmit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH change_log AS ({_CHANGELOG_SQL})
     SELECT doc_id,
            count(*) AS n_events,
-           sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS n_inserts,
-           sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS n_updates,
-           sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS n_deletes,
+           CAST(sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserts,
+           CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_updates,
+           CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
            max(seq) AS max_seq
     FROM change_log GROUP BY doc_id
     """,
@@ -286,12 +286,14 @@ def cdc_gtid_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id,
              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        IS NULL THEN 1
-                  WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
-                       ORDER BY ts, event_id)) > 1800 THEN 1
+                  WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                       - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id))) AS BIGINT) > 1800 THEN 1
                   ELSE 0 END AS new_session
       FROM events
     )
-    SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
     FROM gaps GROUP BY user_id
     """,
 )

@@ -33,12 +33,15 @@ def _norm(df):
 def _cmp_cell(a, b) -> bool:
     if a is None and b is None:
         return True
-    if isinstance(a, float) or isinstance(b, float):
-        fa, fb = float(a), float(b)
-        if math.isnan(fa) and math.isnan(fb):
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
             return True
-        return fa == fb
-    return a == b
+        return a == b
+    # Deliberately NO int<->float coercion: the driver's value hash is
+    # type-sensitive (an int64 Spark column vs a float64 oracle column is a
+    # hash mismatch even when values are numerically equal), so the in-repo
+    # gate must be at least as strict.
+    return type(a) is type(b) and a == b
 
 
 NAMES = sorted(entry_mod.oracle_sql())
