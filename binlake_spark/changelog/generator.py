@@ -38,8 +38,8 @@ import pyarrow.parquet as pq
 CHANGE_LOG_SCHEMA = (
     "seq long, server_uuid string, gno long, trx_id long, ts timestamp,"
     " op string, doc_id string, tokens array<int>, n_tok int, source string,"
-    " payload binary, schema_ver int, extra map<string,string>,"
-    " epoch_hint int"
+    " payload binary, before_payload binary, schema_ver int,"
+    " extra map<string,string>, epoch_hint int"
 )
 
 _ARROW_SCHEMA = pa.schema(
@@ -55,6 +55,7 @@ _ARROW_SCHEMA = pa.schema(
         ("n_tok", pa.int32()),
         ("source", pa.string()),
         ("payload", pa.binary()),
+        ("before_payload", pa.binary()),
         ("schema_ver", pa.int32()),
         ("extra", pa.map_(pa.string(), pa.string())),
         ("epoch_hint", pa.int32()),
@@ -81,6 +82,16 @@ class GenSpec:
     evolution_at: int | None = None  # seq at which schema_ver→2, extra["lang"] appears
     shuffle_window: int = 50       # out-of-order window inside files
     corrupt_frac: float = 0.0      # events with n_tok != len(tokens) (validation path)
+    ddl_events: bool = False       # emit a QUERY/DDL event just before evolution_at
+    before_images: bool = False    # U events carry the prior row image (before_payload)
+
+
+# the ALTER the DDL scenario emits: `lang` is ALSO carried by the extra map
+# after evolution_at (the promote path), while `quality` arrives ONLY via
+# the DDL — proving the QUERY_EVENT → add-column path does real work
+DDL_STATEMENT = (
+    "ALTER TABLE docs ADD COLUMN lang varchar(8), ADD COLUMN quality double"
+)
 
 
 def generate_change_log(spec: GenSpec = GenSpec()) -> pd.DataFrame:
@@ -155,6 +166,29 @@ def generate_change_log(spec: GenSpec = GenSpec()) -> pd.DataFrame:
             "extra": extra,
         }
     )
+
+    # DDL event (QUERY_EVENT analog, SimpleDdlParser.java:55-140): replace
+    # the event just before the evolution point with an additive ALTER; the
+    # engine classifies it and evolves the table schema from it
+    if spec.ddl_events and spec.evolution_at is not None and spec.evolution_at >= 2:
+        i = int(spec.evolution_at) - 2  # row with seq == evolution_at - 1
+        pdf.loc[i, "op"] = "Q"
+        pdf.loc[i, "doc_id"] = ""
+        pdf.at[i, "tokens"] = np.array([], dtype=np.int32)
+        pdf.loc[i, "n_tok"] = 0
+        pdf.at[i, "payload"] = b""
+        pdf.at[i, "extra"] = [("ddl", DDL_STATEMENT)]
+
+    # before images (the reference's UPDATE (before, after) row pairs —
+    # RowsLogEvent.java:112-168, entry.proto RowData before/afterColumns
+    # :75-117): each U event carries the payload of the key's previous
+    # row-change event; I/D/Q events and chain heads carry NULL
+    pdf["before_payload"] = None
+    if spec.before_images:
+        mask = pdf["op"] != "Q"
+        prev = pdf["payload"].where(mask).groupby(pdf["doc_id"].where(mask)).shift(1)
+        is_u = (pdf["op"] == "U") & prev.notna()
+        pdf.loc[is_u, "before_payload"] = prev[is_u]
 
     # retransmit tail: verbatim duplicates appended (failover replay)
     if spec.retransmit_frac > 0:

@@ -15,6 +15,9 @@ import pandas as pd
 
 def oracle_final_state(change_log: pd.DataFrame, drop_corrupt: bool = True) -> pd.DataFrame:
     df = change_log.copy()
+    # row-change ops only: statement events (op 'Q', the DDL scenario)
+    # carry no row image and never reach the table
+    df = df[df["op"].isin(["I", "U", "D"])]
     if drop_corrupt:
         lens = df["tokens"].map(len)
         df = df[lens.to_numpy() == df["n_tok"].to_numpy()]

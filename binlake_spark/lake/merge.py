@@ -108,18 +108,24 @@ def merge_into(
     op_col: str = "op",
     enforce_watermark: bool = False,
     dirty: list[int] | None = None,
+    bucket_max_seq: dict[int, int] | None = None,
     assume_persisted: bool = False,
     bucket_aligned: bool = False,
     extra_lineage: dict | None = None,
 ) -> MergeResult:
     """Apply one compacted change batch to the table, exactly once.
 
-    ``dirty`` / ``assume_persisted``: the engine precomputes the dirty
-    bucket list in the same metadata job that detects schema evolution and
-    hands over an already-persisted ``net`` (with ``_bucket`` attached), so
-    the merge adds no extra pass of its own.  ``extra_lineage`` fields
-    (e.g. per-phase stage delays, the PerformanceUtils analog) are embedded
-    in the committed lineage entry.
+    ``dirty`` / ``bucket_max_seq`` / ``assume_persisted``: the engine
+    precomputes the dirty bucket list and each bucket's own max incoming
+    seq in the same metadata job that detects schema evolution, and hands
+    over an already-persisted ``net`` (with ``_bucket`` attached), so the
+    merge adds no extra pass of its own; when absent they are computed
+    here in one small aggregation over ``net``.  The watermark fence
+    advances each bucket by *its own* max — never the epoch-global max,
+    which would wrongly fence fresh events from sources that are only
+    per-bucket monotone.  ``extra_lineage`` fields (e.g. per-phase stage
+    delays, the PerformanceUtils analog) are embedded in the committed
+    lineage entry.
     """
     t0 = time.monotonic()
     snap = table.snapshot()
@@ -146,17 +152,26 @@ def merge_into(
             .drop("_wm")
         )
         dirty = None  # fence may empty buckets; recompute
+        bucket_max_seq = None
 
     own_persist = not assume_persisted
     if own_persist:
         net = net.persist()
     try:
-        # job A: which buckets does this epoch touch? (skipped when the
-        # caller already knows from its metadata job)
-        if dirty is None:
-            dirty = sorted(
-                int(r["_bucket"]) for r in net.select("_bucket").distinct().collect()
+        # job A: which buckets does this epoch touch, and each bucket's own
+        # incoming max seq? (skipped when the caller already knows from its
+        # metadata job)
+        if dirty is None or bucket_max_seq is None:
+            rows = (
+                net.groupBy("_bucket").agg(F.max(F.col(seq_col)).alias("_mx")).collect()
             )
+            if dirty is None:
+                dirty = sorted(int(r["_bucket"]) for r in rows)
+            else:
+                dirty = sorted(int(b) for b in dirty)
+            bucket_max_seq = {
+                int(r["_bucket"]): int(r["_mx"]) for r in rows if r["_mx"] is not None
+            }
         else:
             dirty = sorted(int(b) for b in dirty)
         if not dirty:
@@ -214,7 +229,6 @@ def merge_into(
             F.count(F.lit(1)).alias("n_events"),
             F.sum((F.col(op_col) != "D").cast("long")).alias("n_upserts"),
             F.sum((F.col(op_col) == "D").cast("long")).alias("n_deletes"),
-            F.max(seq_col).alias("max_seq"),
         )
         upserts = applied.filter(F.col(op_col) != "D")
         aligned = upserts.select(
@@ -270,12 +284,13 @@ def merge_into(
                 files.pop(b, None)  # bucket fully deleted
         watermarks = {int(b): int(w) for b, w in snap["watermarks"].items()}
         # file-footer max covers surviving rows; a delete can remove a
-        # bucket's max row, so the epoch-level applied max advances every
-        # touched bucket's fence conservatively
-        epoch_max = int(metrics["max_seq"] or -1)
+        # bucket's max row, so each bucket's fence also advances by that
+        # bucket's own incoming max (per-bucket, so per-bucket-monotone
+        # sources are never wrongly fenced by another bucket's seqs)
         for p in partitions:
-            watermarks[p["bucket"]] = max(
-                watermarks.get(p["bucket"], -1), p["max_seq"], epoch_max
+            b = p["bucket"]
+            watermarks[b] = max(
+                watermarks.get(b, -1), p["max_seq"], bucket_max_seq.get(b, -1)
             )
 
         wall_ms = int((time.monotonic() - t0) * 1000)
@@ -322,6 +337,7 @@ def merge_into_mor(
     seq_col: str = "seq",
     op_col: str = "op",
     dirty: list[int] | None = None,
+    bucket_max_seq: dict[int, int] | None = None,
     assume_persisted: bool = False,
     bucket_aligned: bool = False,
     extra_lineage: dict | None = None,
@@ -359,10 +375,17 @@ def merge_into_mor(
     if own_persist:
         net = net.persist()
     try:
-        if dirty is None:
-            dirty = sorted(
-                int(r["_bucket"]) for r in net.select("_bucket").distinct().collect()
+        if dirty is None or bucket_max_seq is None:
+            rows = (
+                net.groupBy("_bucket").agg(F.max(F.col(seq_col)).alias("_mx")).collect()
             )
+            if dirty is None:
+                dirty = sorted(int(r["_bucket"]) for r in rows)
+            else:
+                dirty = sorted(int(b) for b in dirty)
+            bucket_max_seq = {
+                int(r["_bucket"]): int(r["_mx"]) for r in rows if r["_mx"] is not None
+            }
         else:
             dirty = sorted(int(b) for b in dirty)
         schema = T.StructType.fromJson(snap["schema"])
@@ -373,7 +396,6 @@ def merge_into_mor(
             F.count(F.lit(1)).alias("n_events"),
             F.sum((F.col(op_col) != "D").cast("long")).alias("n_upserts"),
             F.sum((F.col(op_col) == "D").cast("long")).alias("n_deletes"),
-            F.max(seq_col).alias("max_seq"),
         )
         aligned = staged.select(
             *[
@@ -413,10 +435,14 @@ def merge_into_mor(
             partitions.append({"bucket": b, "n_rows": n_rows, "max_seq": max_seq})
 
         watermarks = {int(b): int(w) for b, w in snap["watermarks"].items()}
-        epoch_max = int(metrics["max_seq"] or -1)
+        # deltas carry tombstone rows too, so the footer max is already each
+        # bucket's true applied max; the per-bucket incoming max covers
+        # footers without stats.  Per-bucket (not epoch-global) so a
+        # per-bucket-monotone source is never wrongly fenced.
         for p in partitions:
-            watermarks[p["bucket"]] = max(
-                watermarks.get(p["bucket"], -1), p["max_seq"], epoch_max
+            b = p["bucket"]
+            watermarks[b] = max(
+                watermarks.get(b, -1), p["max_seq"], bucket_max_seq.get(b, -1)
             )
 
         wall_ms = int((time.monotonic() - t0) * 1000)

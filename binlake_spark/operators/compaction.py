@@ -72,7 +72,14 @@ def compact_lww(
     (maxFilesPerTrigger), so the hint is safe for the streaming engine;
     set False for unbounded batch replays with ≳10^7 distinct keys, where
     AQE + the runtime bloom filter prune the probe shuffle instead.
+
+    ``seq`` must be non-null: a null seq cannot be ordered, and the
+    physical strategies would otherwise disagree on it (``max`` ignores
+    nulls so joinback's equi-join on (key, max(seq)) drops an all-null
+    key, while ``max_by`` keeps one row).  Null-seq rows are therefore
+    filtered up front — uniformly, in every strategy.
     """
+    df = df.filter(F.col(seq_col).isNotNull())
     if strategy == "auto":
         if salt and salt > 1:
             strategy = "agg"  # salting only applies to the agg plan
@@ -160,6 +167,9 @@ def compact_lww_bucketed(
 
     This is the one wide shuffle of the epoch; everything else is narrow.
     """
+    # non-null seq contract, as in compact_lww: unorderable rows are
+    # dropped uniformly rather than strategy-dependently
+    df = df.filter(F.col(seq_col).isNotNull())
     winners = df.groupBy(key).agg(F.max(seq_col).alias(seq_col))
     if broadcast_winners:
         winners = F.broadcast(winners)

@@ -745,31 +745,90 @@ def mm_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("cdc_engine_replay")
-def cdc_engine_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The engine itself, end-to-end at driver scale: deterministic
-    synthetic binlog (retransmit + hot keys + evolution) → streaming-shape
-    batch replay → final LakeTable state.  Correctness vs the pandas
-    oracle is asserted in pytest; here the driver sees the engine run."""
-    import tempfile
+# --------------------------------------------------------------------- #
+# Shared deterministic change log, persisted where the DuckDB oracle can
+# read it too — this is what upgrades the flagship engine replays from
+# rows-only checks to fully hash-matched CORRECTNESS rows.  The oracle SQL
+# hardcodes the sf0.01 path because that is the (only) scale the driver
+# compares at; the Spark queries work at any sf.
+# --------------------------------------------------------------------- #
+_ORACLE_LOG_BASE = "/tmp/binlake_driver_oracle"
+_SHARED_LOG_SQL = f"SELECT * FROM '{_ORACLE_LOG_BASE}/sf0.01/log/*.parquet'"
 
+# engine-valid events + LWW winners, the exact filter chain CdcEngine
+# applies (op whitelist + token-array invariant); `tokens` in the log
+# parquet equals the payload bytes by construction (generator.py:128)
+_REPLAY_ORACLE_SQL = f"""
+    WITH log AS ({_SHARED_LOG_SQL}),
+    valid AS (
+      SELECT * FROM log
+      WHERE op IN ('I','U','D') AND octet_length(payload) = n_tok * 4
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+      FROM valid
+    )
+    SELECT doc_id, n_tok, source,
+           map_extract(extra, 'lang')[1] AS lang,
+           md5(array_to_string(tokens, ',')) AS tokens_sig
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def _shared_log(sf_dir: str, ddl: bool = False) -> str:
+    """Generate (once) and return the shared change-log path for this sf."""
     from binlake_spark.changelog import GenSpec, generate_change_log, write_change_log
-    from binlake_spark.streaming import CdcEngine
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     n = max(2_000, int(200_000 * float(sf)))
-    work = tempfile.mkdtemp(prefix="binlake_driver_q_")
-    pdf = generate_change_log(
-        GenSpec(n_docs=n // 25, n_events=n, events_per_epoch=n // 4,
-                retransmit_frac=0.1, hot_keys=3, hot_frac=0.2, evolution_at=n // 2)
+    spec = GenSpec(
+        n_docs=n // 25, n_events=n, events_per_epoch=n // 4,
+        retransmit_frac=0.1, hot_keys=3, hot_frac=0.2, evolution_at=n // 2,
+        ddl_events=ddl,
     )
-    src = f"{work}/log"
-    write_change_log(pdf, src)
+    sub = "ddl_log" if ddl else "log"
+    out = f"{_ORACLE_LOG_BASE}/sf{sf}/{sub}"
+    marker = f"{_ORACLE_LOG_BASE}/sf{sf}/_SPEC_{sub}"
+    tag = repr(spec)
+    done = False
+    try:
+        with open(marker) as f:
+            done = f.read() == tag
+    except OSError:
+        pass
+    if not done:
+        write_change_log(generate_change_log(spec), out)
+        with open(marker, "w") as f:
+            f.write(tag)
+    return out
+
+
+def _tokens_sig():
+    """Portable exact token-array signature (needs an active session —
+    F.expr resolves against the JVM, so build lazily)."""
+    return F.md5(
+        F.expr("array_join(transform(tokens, x -> cast(x as string)), ',')")
+    ).alias("tokens_sig")
+
+
+@_register("cdc_engine_replay", _REPLAY_ORACLE_SQL)
+def cdc_engine_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine itself, end-to-end at driver scale: deterministic
+    synthetic binlog (retransmit + hot keys + evolution) → streaming-shape
+    batch replay → final LakeTable state, hash-compared against an
+    independent DuckDB LWW replay of the persisted log (exact token-array
+    equality via the md5 signature)."""
+    import tempfile
+
+    from binlake_spark.streaming import CdcEngine
+
+    src = _shared_log(sf_dir)
+    work = tempfile.mkdtemp(prefix="binlake_driver_q_")
     table = CdcEngine.create_table(f"{work}/docs", num_buckets=16)
     engine = CdcEngine(table)
     engine.run_batch_replay(spark, src)
     return engine.read_state(spark).select(
-        "doc_id", "n_tok", "source", "lang", F.hash("tokens").alias("tokens_hash")
+        "doc_id", "n_tok", "source", "lang", _tokens_sig()
     )
 
 
@@ -1091,30 +1150,51 @@ def cdc_order_grades(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------- #
 # Streaming operators — rows-only (stateful/checkpointed; not ANSI-SQL)
 # --------------------------------------------------------------------- #
-@_register("cdc_stateful_fence")
+@_register(
+    "cdc_stateful_fence",
+    f"""
+    WITH log AS (SELECT doc_id, seq, epoch_hint FROM ({_SHARED_LOG_SQL})),
+    first AS (
+      SELECT doc_id, seq, min(epoch_hint) AS e0 FROM log GROUP BY doc_id, seq
+    ),
+    em AS (
+      SELECT doc_id, epoch_hint, max(seq) AS mx FROM log GROUP BY doc_id, epoch_hint
+    ),
+    prevmax AS (
+      SELECT doc_id, epoch_hint,
+             max(mx) OVER (PARTITION BY doc_id ORDER BY epoch_hint
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      FROM em
+    ),
+    emitted AS (
+      SELECT f.doc_id, f.seq
+      FROM first f
+      JOIN prevmax p ON p.doc_id = f.doc_id AND p.epoch_hint = f.e0
+      WHERE f.seq > coalesce(p.pm, -1)
+    )
+    SELECT doc_id, count(*) AS n_emitted, max(seq) AS max_seq
+    FROM emitted GROUP BY doc_id
+    """,
+)
 def cdc_stateful_fence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """applyInPandasWithState per-key retransmit fence over a synthetic
-    stream with a 30% duplicate tail: emits only fresh (doc_id, seq)
-    events across micro-batches.  Exactness vs the batch LWW winner is
-    asserted in tests/test_streaming.py::test_stateful_dedup_by_seq."""
+    """applyInPandasWithState per-key retransmit fence over the shared log
+    streamed one epoch file per micro-batch: emits only (doc_id, seq)
+    events above every seq previously seen for the key in earlier batches.
+    The DuckDB oracle replays the same monotone-fence semantics in SQL
+    over (epoch_hint, seq): an event is emitted iff its seq exceeds the
+    key's max seq across all strictly-earlier epochs, counted at its first
+    containing epoch."""
     import tempfile
 
-    from binlake_spark.changelog import GenSpec, generate_change_log, write_change_log
     from binlake_spark.changelog.generator import CHANGE_LOG_SCHEMA
     from binlake_spark.streaming import dedup_by_seq_stateful
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    n = max(1_000, int(100_000 * float(sf)))
+    src = _shared_log(sf_dir)
     work = tempfile.mkdtemp(prefix="binlake_fence_q_")
-    pdf = generate_change_log(
-        GenSpec(n_docs=n // 25, n_events=n, events_per_epoch=n // 3,
-                retransmit_frac=0.3)
-    )
-    write_change_log(pdf, f"{work}/log")
     stream = (
         spark.readStream.schema(CHANGE_LOG_SCHEMA)
         .option("maxFilesPerTrigger", 1)
-        .parquet(f"{work}/log")
+        .parquet(src)
         .select("doc_id", "seq", "op", "n_tok")
     )
     q = (
@@ -1133,66 +1213,114 @@ def cdc_stateful_fence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("cdc_fanout_replay")
+@_register(
+    "cdc_fanout_replay",
+    f"""
+    WITH log AS ({_SHARED_LOG_SQL}),
+    valid AS (
+      SELECT * FROM log
+      WHERE op IN ('I','U','D') AND octet_length(payload) = n_tok * 4
+    ),
+    lww_all AS (
+      SELECT doc_id, op,
+             row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+      FROM valid
+    ),
+    lww_web AS (
+      SELECT doc_id, op,
+             row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+      FROM valid WHERE source = 'web'
+    )
+    SELECT 'all' AS rule, count(*) AS n_rows FROM lww_all WHERE rn = 1 AND op <> 'D'
+    UNION ALL
+    SELECT 'web' AS rule, count(*) AS n_rows FROM lww_web WHERE rn = 1 AND op <> 'D'
+    """,
+)
 def cdc_fanout_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rule fan-out end-to-end: one stream into two lake tables (all rows
-    vs source='web'), per-rule epoch guards; returns per-rule final row
-    counts + applied epochs from the lineage."""
+    vs source='web'), per-rule epoch guards; each rule's final live row
+    count is hash-compared against an independent DuckDB LWW replay of
+    the same (per-rule-filtered) log."""
     import tempfile
 
-    from binlake_spark.changelog import GenSpec, generate_change_log, write_change_log
     from binlake_spark.streaming import CdcEngine, FanoutCdc, Rule
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    n = max(2_000, int(100_000 * float(sf)))
+    src = _shared_log(sf_dir)
     work = tempfile.mkdtemp(prefix="binlake_fanout_q_")
-    pdf = generate_change_log(
-        GenSpec(n_docs=n // 25, n_events=n, events_per_epoch=n // 3,
-                retransmit_frac=0.1, hot_keys=2, hot_frac=0.2)
-    )
-    write_change_log(pdf, f"{work}/log")
     t_all = CdcEngine.create_table(f"{work}/all", num_buckets=8)
     t_web = CdcEngine.create_table(f"{work}/web", num_buckets=8)
     fan = FanoutCdc([Rule("all", t_all), Rule("web", t_web, predicate="source = 'web'")])
-    fan.run_stream(spark, f"{work}/log", f"{work}/ckpt", max_files_per_trigger=2)
+    fan.run_stream(spark, src, f"{work}/ckpt", max_files_per_trigger=2)
     rows = [
-        ("all", t_all.read(spark).count(), t_all.last_epoch("all") + 1),
-        ("web", t_web.read(spark).count(), t_web.last_epoch("web") + 1),
+        ("all", t_all.read(spark).count()),
+        ("web", t_web.read(spark).count()),
     ]
-    return spark.createDataFrame(rows, "rule string, n_rows long, n_epochs int")
+    return spark.createDataFrame(rows, "rule string, n_rows long")
 
 
-@_register("cdc_engine_replay_mor")
+@_register("cdc_engine_replay_mor", _REPLAY_ORACLE_SQL)
 def cdc_engine_replay_mor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine in merge-on-read mode at driver scale: same synthetic
     binlog as cdc_engine_replay, applied as per-bucket delta appends with
-    read-time LWW + mid-run compaction; the returned final state is
-    proven identical to COW's in tests/test_engine_replay.py."""
+    read-time LWW + mid-run compaction; hash-compared against the same
+    DuckDB LWW oracle (MOR and COW must land on identical state)."""
     import tempfile
 
-    from binlake_spark.changelog import GenSpec, generate_change_log, write_change_log
+    from binlake_spark.changelog.generator import CHANGE_LOG_SCHEMA
     from binlake_spark.streaming import CdcEngine
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    n = max(2_000, int(200_000 * float(sf)))
+    src = _shared_log(sf_dir)
     work = tempfile.mkdtemp(prefix="binlake_driver_qm_")
-    pdf = generate_change_log(
-        GenSpec(n_docs=n // 25, n_events=n, events_per_epoch=n // 4,
-                retransmit_frac=0.1, hot_keys=3, hot_frac=0.2, evolution_at=n // 2)
-    )
-    src = f"{work}/log"
-    write_change_log(pdf, src)
     table = CdcEngine.create_table(f"{work}/docs", num_buckets=16)
     engine = CdcEngine(table, mode="mor", mor_compact_every=2)
-    for i in range(4):
-        batch = spark.read.schema(
-            __import__(
-                "binlake_spark.changelog.generator", fromlist=["CHANGE_LOG_SCHEMA"]
-            ).CHANGE_LOG_SCHEMA
-        ).parquet(src).filter(F.col("epoch_hint") == i)
-        engine.apply_batch(batch, epoch_id=i)
+    log = spark.read.schema(CHANGE_LOG_SCHEMA).parquet(src)
+    n_epochs = log.agg(F.max("epoch_hint")).collect()[0][0] + 1
+    for i in range(int(n_epochs)):
+        engine.apply_batch(log.filter(F.col("epoch_hint") == i), epoch_id=i)
     return engine.read_state(spark).select(
-        "doc_id", "n_tok", "source", "lang", F.hash("tokens").alias("tokens_hash")
+        "doc_id", "n_tok", "source", "lang", _tokens_sig()
+    )
+
+
+@_register(
+    "cdc_ddl_evolution",
+    f"""
+    WITH log AS (SELECT * FROM '{_ORACLE_LOG_BASE}/sf0.01/ddl_log/*.parquet'),
+    valid AS (
+      SELECT * FROM log
+      WHERE op IN ('I','U','D') AND octet_length(payload) = n_tok * 4
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+      FROM valid
+    )
+    SELECT doc_id, n_tok, source,
+           map_extract(extra, 'lang')[1] AS lang,
+           CAST(NULL AS DOUBLE) AS quality,
+           md5(array_to_string(tokens, ',')) AS tokens_sig
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_ddl_evolution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDL-driven schema evolution end-to-end (BinlogWorker.java:999-1054 +
+    SimpleDdlParser.java:55-140): the log carries a QUERY/DDL event
+    (`ALTER TABLE docs ADD COLUMN lang ..., ADD COLUMN quality double`)
+    just before the evolution point; the engine classifies it and evolves
+    the table from the statement.  `lang` is subsequently populated via the
+    extra-map promote path, while `quality` exists ONLY because the DDL was
+    applied (all NULL) — so a hash match here proves the QUERY_EVENT path
+    did real work, not just the promote path."""
+    import tempfile
+
+    from binlake_spark.streaming import CdcEngine
+
+    src = _shared_log(sf_dir, ddl=True)
+    work = tempfile.mkdtemp(prefix="binlake_driver_ddl_")
+    table = CdcEngine.create_table(f"{work}/docs", num_buckets=16)
+    engine = CdcEngine(table)
+    engine.run_batch_replay(spark, src)
+    return engine.read_state(spark).select(
+        "doc_id", "n_tok", "source", "lang", "quality", _tokens_sig()
     )
 
 

@@ -71,11 +71,15 @@ class CdcEngine:
         salt: int | None = None,
         decode_payload: bool = True,
         promote_extra: bool = True,
+        apply_ddl: bool = True,
+        audit_before_images: bool = False,
         decode_partitions: int | None = None,
         expire_every: int | None = 16,
         expire_keep_last: int = 4,
         mode: str = "cow",
         mor_compact_every: int = 8,
+        broadcast_winners: bool | None = None,
+        broadcast_winner_limit: int = 4_000_000,
     ):
         """``salt``: two-stage compaction for pathological key skew.  Note
         that ordinary hot keys are already absorbed by ``max_by``'s
@@ -96,6 +100,16 @@ class CdcEngine:
         concurrent readers (None disables — snapshots then accumulate a
         dead copy of every dirty bucket per epoch).
 
+        ``broadcast_winners``: tri-state control of the compaction's winner
+        join-back.  ``True`` pins a broadcast (safe when micro-batches are
+        backpressure-bounded), ``False`` forces the shuffle plan where
+        Spark's runtime bloom filter prunes the probe scan (session.py
+        enables it), ``None`` (default) decides per batch: broadcast only
+        when the batch's event count — an upper bound on winners — is
+        known and ≤ ``broadcast_winner_limit``.  Unbounded replays of
+        10^7+ distinct keys would otherwise OOM the driver broadcasting
+        the winner key-set.
+
         ``mode``: ``"cow"`` (default, the north-rule contract) rewrites
         dirty buckets each epoch — read-optimal, write cost grows with
         table size when keys are uniform.  ``"mor"`` appends per-bucket
@@ -110,6 +124,8 @@ class CdcEngine:
         self.salt = salt
         self.decode_payload = decode_payload
         self.promote_extra = promote_extra
+        self.apply_ddl = apply_ddl
+        self.audit_before_images = audit_before_images
         self.decode_partitions = decode_partitions
         self.expire_every = expire_every
         self.expire_keep_last = expire_keep_last
@@ -117,6 +133,8 @@ class CdcEngine:
             raise ValueError("mode must be 'cow' or 'mor'")
         self.mode = mode
         self.mor_compact_every = mor_compact_every
+        self.broadcast_winners = broadcast_winners
+        self.broadcast_winner_limit = broadcast_winner_limit
 
     # ------------------------------------------------------------------ #
     @classmethod
@@ -126,7 +144,12 @@ class CdcEngine:
         return LakeTable.create(root, schema, key_col="doc_id", num_buckets=num_buckets)
 
     # ------------------------------------------------------------------ #
-    def apply_batch(self, batch_df: DataFrame, epoch_id: int) -> MergeResult:
+    def apply_batch(
+        self,
+        batch_df: DataFrame,
+        epoch_id: int,
+        n_events_hint: int | None = None,
+    ) -> MergeResult:
         """Apply one change-log micro-batch to the table, exactly once.
 
         Operator order is chosen for scale: validation is a JVM predicate
@@ -153,6 +176,53 @@ class CdcEngine:
         df = batch_df
         has_payload = self.decode_payload and "payload" in df.columns
 
+        # 0. statement events (QUERY_EVENT analog): classify DDL text and
+        #    apply additive ALTERs to the table schema before the data path
+        #    — the reference's DDL→refreshTableCache loop
+        #    (BinlogWorker.java:999-1054, SimpleDdlParser.java:55-140).
+        #    One skinny scan per epoch: only (seq, extra['ddl']) under a
+        #    pushed op='Q' predicate; DDL events are rare, the collect is
+        #    a handful of rows.
+        if self.apply_ddl and "op" in df.columns and "extra" in df.columns:
+            from binlake_spark.operators.ddl import classify_ddl, extract_added_columns
+
+            ddl_rows = (
+                df.filter(F.col("op") == "Q")
+                .select("seq", F.col("extra")["ddl"].alias("_ddl"))
+                .filter(F.col("_ddl").isNotNull())
+                .collect()
+            )
+            for r in sorted(ddl_rows, key=lambda r: r["seq"]):
+                res = classify_ddl(r["_ddl"])
+                if res.type == "ALTER":  # add-column-only rule
+                    cols = extract_added_columns(r["_ddl"])
+                    if cols:
+                        self.table.add_columns(cols)
+
+        # 0b. opt-in before-image audit (RowsLogEvent (before, after) pairs,
+        #     entry.proto RowData :75-117): every U event's before image
+        #     must match its chain predecessor (in-batch event or current
+        #     table row).  A divergence is surfaced as an error, never
+        #     silently applied.  Costs one extra keyed pass — audit mode.
+        if self.audit_before_images and "before_payload" in df.columns:
+            from binlake_spark.operators.audit import (
+                BeforeImageMismatch,
+                find_before_image_violations,
+            )
+
+            state = self.table.read(spark, with_seq=True)
+            viols = (
+                find_before_image_violations(df, current_state=state)
+                .limit(20)
+                .collect()
+            )
+            if viols:
+                sample = [(r["doc_id"], int(r["seq"]), r["kind"]) for r in viols]
+                raise BeforeImageMismatch(
+                    f"epoch {epoch_id}: {len(viols)}+ before-image "
+                    f"mismatches (first: {sample[:5]})"
+                )
+
         # 1. column pruning + vectorized validation (the event-type filter
         #    + token-invariant check, all whole-stage-codegen JVM)
         keep = ["doc_id", "seq", "op", "n_tok", "source"]
@@ -176,6 +246,17 @@ class CdcEngine:
         #    ONE wide shuffle of the epoch; the write then needs no
         #    exchange at all.  The salted two-stage agg remains available
         #    for adversarial skew (see __init__).
+        # broadcast-vs-bloom winner join-back (see __init__): the hint is
+        # an upper bound on winners, so "hint known and small" is the only
+        # case where pinning the broadcast is provably safe for unbounded
+        # batches; streaming callers (no hint) are backpressure-bounded.
+        bw = (
+            self.broadcast_winners
+            if self.broadcast_winners is not None
+            else n_events_hint is None
+            or n_events_hint <= self.broadcast_winner_limit
+        )
+
         bucket_aligned = False
         if self.salt:
             net = compact_lww(
@@ -202,6 +283,7 @@ class CdcEngine:
                 seq_col="seq",
                 bucket_col_expr=self.table.bucket_expr(),
                 num_partitions=int(self.table.snapshot()["num_buckets"]),
+                broadcast_winners=bw,
                 batch_fn=batch_fn,
                 out_schema=out_schema,
             )
@@ -216,23 +298,32 @@ class CdcEngine:
         t0 = time.monotonic()
         cached = net = net.persist()
         try:
+            # one metadata aggregation over the cached winners yields the
+            # dirty-bucket list, each bucket's own max applied seq (the
+            # per-bucket retransmit fence — NOT the epoch-global max, which
+            # would wrongly fence per-bucket-monotone sources), and the set
+            # of new ``extra`` keys.  collect_set over the key-arrays stays
+            # tiny: distinct key-combinations, not rows.
             has_extra = self.promote_extra and "extra" in net.columns
+            aggs = [F.max("seq").alias("_mx")]
             if has_extra:
-                meta = (
-                    net.select(
-                        "_bucket", F.explode_outer(F.map_keys("extra")).alias("k")
-                    )
-                    .distinct()
-                    .collect()
+                aggs.append(
+                    F.array_distinct(
+                        F.flatten(F.collect_set(F.map_keys("extra")))
+                    ).alias("_ks")
                 )
-                dirty = sorted({int(r["_bucket"]) for r in meta})
-                keys = sorted({r["k"] for r in meta if r["k"] is not None})
-            else:
-                dirty = sorted(
-                    int(r["_bucket"])
-                    for r in net.select("_bucket").distinct().collect()
-                )
-                keys = []
+            meta = net.groupBy("_bucket").agg(*aggs).collect()
+            dirty = sorted(int(r["_bucket"]) for r in meta)
+            bucket_max = {
+                int(r["_bucket"]): int(r["_mx"])
+                for r in meta
+                if r["_mx"] is not None
+            }
+            keys = (
+                sorted({k for r in meta for k in (r["_ks"] or [])})
+                if has_extra
+                else []
+            )
             phases["materialize_ms"] = int((time.monotonic() - t0) * 1000)
 
             # 4. additive schema evolution on winners: promote new `extra`
@@ -256,6 +347,7 @@ class CdcEngine:
                 epoch_id=int(epoch_id),
                 stream_id=self.stream_id,
                 dirty=dirty,
+                bucket_max_seq=bucket_max,
                 assume_persisted=True,
                 bucket_aligned=bucket_aligned,
                 extra_lineage={"phase_ms": phases},
@@ -283,9 +375,32 @@ class CdcEngine:
     # ------------------------------------------------------------------ #
     def run_batch_replay(self, spark: SparkSession, source_dir: str) -> MergeResult:
         """Bounded replay as a single batch (FileLogFetcher analog,
-        FileLogFetcher.java:1-158) — the correctness harness path."""
+        FileLogFetcher.java:1-158) — the correctness harness path.
+
+        Unlike streaming micro-batches this input is unbounded, so the
+        event count is read from the parquet footers (driver-side metadata,
+        no job) and handed to :meth:`apply_batch` as the winner upper bound
+        that gates the broadcast-vs-bloom join-back choice."""
         df = spark.read.schema(CHANGE_LOG_SCHEMA).parquet(source_dir)
-        return self.apply_batch(df, epoch_id=self.table.last_epoch(self.stream_id) + 1)
+        n_events = None
+        try:
+            import glob as _glob
+
+            import pyarrow.parquet as _pq
+
+            n_events = sum(
+                _pq.read_metadata(p).num_rows
+                for p in _glob.glob(
+                    os.path.join(source_dir, "**", "*.parquet"), recursive=True
+                )
+            )
+        except Exception:
+            pass  # unknown size → apply_batch treats it as stream-bounded
+        return self.apply_batch(
+            df,
+            epoch_id=self.table.last_epoch(self.stream_id) + 1,
+            n_events_hint=n_events,
+        )
 
     def run_stream(
         self,
@@ -296,6 +411,8 @@ class CdcEngine:
         available_now: bool = True,
         stop_after_epochs: int | None = None,
         timeout_s: int = 300,
+        resume_retries: int = 2,
+        retry_backoff_s: float = 2.0,
     ):
         """Tail the change log with Structured Streaming.
 
@@ -304,7 +421,18 @@ class CdcEngine:
         BinlogWorker.java:938-945).  ``stop_after_epochs`` kills the query
         mid-stream after N commits — the failover-injection hook used by
         the kill/resume tests.
+
+        ``resume_retries``: a checkpoint re-open after a hard kill can
+        transiently fail while the dead process's state is torn
+        (StreamingQueryException from ``constructNextBatch``); restart the
+        query up to N extra times with backoff — safe because
+        ``apply_batch`` is idempotent (epoch guard + seq fence), so a
+        replayed epoch is a no-op.  This is the rebuild of the reference's
+        failover re-acquire loop (ZkLeaderSelector.takeLeadership:363-477
+        retries leadership + dump resume on transient errors).
         """
+        from pyspark.errors import StreamingQueryException
+
         reader = spark.readStream.schema(CHANGE_LOG_SCHEMA)
         if max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
@@ -319,22 +447,34 @@ class CdcEngine:
         )
         if available_now and stop_after_epochs is None:
             writer = writer.trigger(availableNow=True)
-        q = writer.start()
-        try:
-            if stop_after_epochs is not None:
-                deadline = time.monotonic() + timeout_s
-                while time.monotonic() < deadline:
-                    if self.table.last_epoch(self.stream_id) >= stop_after_epochs - 1:
-                        break
-                    time.sleep(0.2)
-                q.stop()
-                q.awaitTermination(timeout_s)
-            else:
-                q.awaitTermination()
-        finally:
-            if q.isActive:
-                q.stop()
-        return q
+        attempts = 0
+        while True:
+            q = writer.start()
+            try:
+                if stop_after_epochs is not None:
+                    deadline = time.monotonic() + timeout_s
+                    while time.monotonic() < deadline:
+                        if (
+                            self.table.last_epoch(self.stream_id)
+                            >= stop_after_epochs - 1
+                        ):
+                            break
+                        if not q.isActive:  # failed early — surface below
+                            break
+                        time.sleep(0.2)
+                    q.stop()
+                    q.awaitTermination(timeout_s)
+                else:
+                    q.awaitTermination()
+                return q
+            except StreamingQueryException:
+                if attempts >= resume_retries:
+                    raise
+                attempts += 1
+                time.sleep(retry_backoff_s * attempts)
+            finally:
+                if q.isActive:
+                    q.stop()
 
     # ------------------------------------------------------------------ #
     def read_state(self, spark: SparkSession) -> DataFrame:

@@ -54,7 +54,15 @@ def dedup_by_seq_stateful(
         key_tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (max_seq,) = state.get if state.exists else (-1,)
-        for pdf in pdfs:
+        # A key's rows within one micro-batch can arrive split across
+        # multiple Arrow chunks that are NOT globally seq-ordered, so the
+        # fence must see the whole group before filtering — otherwise a
+        # legitimate lower-seq event in a later chunk is silently dropped.
+        # A single key's batch slice is bounded by the micro-batch size, so
+        # the concat stays small.
+        chunks = list(pdfs)
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
             pdf = pdf.sort_values(seq_col, kind="stable")
             fresh = pdf[pdf[seq_col] > max_seq]
             # drop equal-seq duplicates inside the batch too

@@ -158,3 +158,82 @@ def test_mor_write_cost_independent_of_table_size(spark, tmp_path):
         written = sum(p["n_rows"] for p in m["partitions"])
         assert written <= 1000  # bounded by the batch
     assert live > 1200  # table grew well past one epoch's batch
+
+
+def test_no_broadcast_replay_matches_oracle(spark, tmp_path):
+    """The unbounded-replay regime: the event-count hint exceeds
+    broadcast_winner_limit, so the engine unpins the winner broadcast and
+    lets AQE/bloom pick the join — final state must be identical."""
+    spec = GenSpec(n_docs=100, n_events=1500, retransmit_frac=0.1, evolution_at=700)
+    pdf = generate_change_log(spec)
+    src = str(tmp_path / "log")
+    write_change_log(pdf, src)
+    table = CdcEngine.create_table(str(tmp_path / "docs"), num_buckets=8)
+    engine = CdcEngine(table, broadcast_winner_limit=100)
+    res = engine.run_batch_replay(spark, src)
+    assert res.applied
+    assert_state_equals_oracle(spark, engine, pdf, check_lang=True)
+
+
+def test_ddl_event_drives_schema_evolution(spark, tmp_path):
+    """QUERY/DDL events in the log evolve the table schema end-to-end:
+    `lang` arrives via DDL + extra-promote, `quality` via DDL only (all
+    NULL), and the final state stays oracle-exact."""
+    spec = GenSpec(n_docs=60, n_events=1200, evolution_at=600, ddl_events=True)
+    pdf = generate_change_log(spec)
+    src = str(tmp_path / "log")
+    write_change_log(pdf, src)
+    table = CdcEngine.create_table(str(tmp_path / "docs"), num_buckets=8)
+    engine = CdcEngine(table)
+    engine.run_batch_replay(spark, src)
+    names = [f.name for f in table.schema().fields]
+    assert "lang" in names and "quality" in names
+    state = engine.read_state(spark)
+    assert state.filter(state.quality.isNotNull()).count() == 0
+    assert any(e.get("kind") == "alter" for e in table._all_lineage())
+    assert_state_equals_oracle(spark, engine, pdf, check_lang=True)
+
+    # with the extra-promote path disabled, the columns still appear —
+    # proving the DDL path alone evolves the schema
+    t2 = CdcEngine.create_table(str(tmp_path / "docs2"), num_buckets=8)
+    e2 = CdcEngine(t2, promote_extra=False)
+    e2.run_batch_replay(spark, src)
+    n2 = [f.name for f in t2.schema().fields]
+    assert "quality" in n2 and "lang" in n2
+
+
+def test_before_image_audit(spark, tmp_path):
+    """Before-image reconciliation: a clean log with (before, after) pairs
+    replays oracle-exact under audit (chain + head-vs-table checks), and a
+    tampered before image is surfaced as BeforeImageMismatch, never
+    silently applied."""
+    from pyspark.sql import functions as F
+
+    from binlake_spark.changelog.generator import CHANGE_LOG_SCHEMA
+    from binlake_spark.operators.audit import BeforeImageMismatch
+
+    spec = GenSpec(
+        n_docs=40, n_events=800, events_per_epoch=400,
+        before_images=True, shuffle_window=1,
+    )
+    pdf = generate_change_log(spec)
+    src = str(tmp_path / "log")
+    write_change_log(pdf, src)
+    table = CdcEngine.create_table(str(tmp_path / "docs"), num_buckets=4)
+    engine = CdcEngine(table, audit_before_images=True)
+    log = spark.read.schema(CHANGE_LOG_SCHEMA).parquet(src)
+    # per-epoch apply so epoch 1's chain heads are audited against the
+    # table state epoch 0 committed
+    for i in range(2):
+        engine.apply_batch(log.filter(F.col("epoch_hint") == i), epoch_id=i)
+    assert_state_equals_oracle(spark, engine, pdf)
+
+    bad = pdf.copy()
+    u_idx = bad.index[(bad.op == "U") & bad.before_payload.notna()][0]
+    bad.at[u_idx, "before_payload"] = b"\x00\x01\x02\x03"
+    src2 = str(tmp_path / "log2")
+    write_change_log(bad, src2)
+    t2 = CdcEngine.create_table(str(tmp_path / "docs2"), num_buckets=4)
+    e2 = CdcEngine(t2, audit_before_images=True)
+    with pytest.raises(BeforeImageMismatch):
+        e2.run_batch_replay(spark, src2)

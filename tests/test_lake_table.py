@@ -128,8 +128,23 @@ def test_lineage_records_per_bucket(spark, tmp_path):
     assert sum(r.n_rows for r in offs) == 1  # "a" survives, "b" deleted
     # non-empty buckets carry footer stats; fully-deleted buckets are -1
     assert all(r.max_seq >= 1 for r in offs if r.n_rows > 0)
-    # the watermark fence still advanced every touched bucket
-    assert all(int(w) >= 2 for w in t.snapshot()["watermarks"].values())
+    # the watermark fence advanced each touched bucket by ITS OWN max
+    # incoming seq — not the epoch-global max (a per-bucket-monotone
+    # source must never be fenced by another bucket's seqs)
+    wm = {int(b): int(w) for b, w in t.snapshot()["watermarks"].items()}
+    b_a, b_b = (
+        spark.range(1)
+        .select(
+            *[
+                F.pmod(F.hash(F.lit(k)), F.lit(4)).cast("int").alias(k)
+                for k in ("a", "b")
+            ]
+        )
+        .collect()[0]
+    )
+    assert wm[b_b] == 2  # the delete's own bucket
+    if b_a != b_b:
+        assert wm[b_a] == 1  # "a"'s bucket fences at its own seq, not 2
     assert os.path.exists(os.path.join(str(tmp_path / "t"), "_meta", "CURRENT"))
 
 

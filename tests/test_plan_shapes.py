@@ -94,3 +94,38 @@ def test_scan_pushdown_and_pruning(spark, tmp_path):
     assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(op,I\)", plan), plan
     m = re.search(r"ReadSchema: ([^\n]+)", plan)
     assert m and "payload" not in m.group(1) and "tokens" not in m.group(1), plan
+
+
+def test_compaction_unpinned_winners_use_shuffle_join(spark, tmp_path):
+    """The 10^7-winners regime (broadcast_winners=False): with the
+    broadcast pin removed and broadcast ruled out by size (simulated by
+    disabling the thresholds), the winner join-back must degrade to a
+    shuffle join — never a driver-sized BroadcastExchange."""
+    df = _prep(spark, tmp_path).select(
+        "doc_id", "seq", "op", "n_tok", "source", "payload", "extra"
+    )
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        net = compact_lww_bucketed(
+            df,
+            bucket_col_expr=F.pmod(F.hash("doc_id"), F.lit(8)).cast("int"),
+            num_partitions=8,
+            broadcast_winners=False,
+        )
+        plan = _executed(net)
+        assert "BroadcastExchange" not in plan, plan
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
