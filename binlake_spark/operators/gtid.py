@@ -125,3 +125,27 @@ def gtid_set_of(df: DataFrame, sid_col: str = "server_uuid", gno_col: str = "gno
     for r in rows:
         out.setdefault(r[sid_col], []).append((r["lo"], r["hi"]))
     return GTIDSet(out)
+
+
+class PositionNotInLog(RuntimeError):
+    """A resume position is not contained in the source log's GTID set."""
+
+
+def assert_position_covered(
+    source: DataFrame,
+    position: GTIDSet,
+    sid_col: str = "server_uuid",
+    gno_col: str = "gno",
+) -> GTIDSet:
+    """Fail fast when a resume position is outside the log — the
+    reference's bootstrap containment check (GTIDTracker.java:30-51:
+    refuse to dump from a GTID the server no longer has).  Returns the
+    source's set so callers can reuse it."""
+    src = gtid_set_of(source, sid_col, gno_col)
+    if not src.contains(position):
+        raise PositionNotInLog(
+            f"resume position {{{position}}} is not contained in the "
+            f"source log's executed set {{{src}}} — the log has been "
+            "purged past the checkpoint or the checkpoint is foreign"
+        )
+    return src

@@ -65,30 +65,33 @@ def cosine_topk(
     )
 
 
-def _hyperplane_sig(vec: Column, dim: int, bits: int, seed: int) -> Column:
-    """Sign signature under `bits` deterministic integer hyperplanes.
+def _hyperplane_proj(vec: Column, dim: int, bit: int, seed: int) -> Column:
+    """Projection of ``vec`` onto deterministic integer hyperplane ``bit``.
     w[i][j] = ((i*73856093 + j*19349663 + seed*83492791) % 13) - 6 —
     small integer weights, reproducible everywhere."""
-    def make_w(i: int):
-        def w(x, j):
-            coeff = (
-                F.pmod(
-                    F.lit(i * 73856093) + j * F.lit(19349663) + F.lit(seed * 83492791),
-                    F.lit(13),
-                )
-                - 6
+
+    def w(x, j):
+        coeff = (
+            F.pmod(
+                F.lit(bit * 73856093) + j * F.lit(19349663) + F.lit(seed * 83492791),
+                F.lit(13),
             )
-            return x * coeff.cast("double")
+            - 6
+        )
+        return x * coeff.cast("double")
 
-        return w
+    return F.aggregate(
+        F.zip_with(vec, F.sequence(F.lit(0), F.lit(dim - 1)), w),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
+
+def _hyperplane_sig(vec: Column, dim: int, bits: int, seed: int) -> Column:
+    """Sign signature under `bits` deterministic integer hyperplanes."""
     sig = F.lit(0).cast("long")
     for i in range(bits):
-        proj = F.aggregate(
-            F.zip_with(vec, F.sequence(F.lit(0), F.lit(dim - 1)), make_w(i)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        proj = _hyperplane_proj(vec, dim, i, seed)
         sig = sig + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(0)
     return sig
 
@@ -116,18 +119,53 @@ def ann_lsh(
     k: int = 10,
     bits: int = 8,
     seed: int = 42,
+    probes: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: search only the query's LSH bucket, exact rerank
-    inside it.  Returns (id, cosine) — a subset of the brute-force result
-    whose recall grows as bits shrink."""
+    """Approximate top-k: search the query's LSH bucket(s), exact rerank
+    inside.  Returns (id, cosine) — a subset of the brute-force result
+    whose recall grows as bits shrink or ``probes`` grows.
+
+    ``probes`` > 1 is standard multiprobe: in addition to the query's own
+    bucket, probe the buckets reached by flipping the query's
+    lowest-|margin| signature bits (the hyperplanes the query sits closest
+    to — where its true neighbors most likely landed on the other side).
+    The probe set is built on the single query row and broadcast, so extra
+    probes cost extra *bucket* scans, never a full-table scan."""
     b = lsh_bucketize(df, dim, bits, seed, id_col, vec_col)
+    projs = F.array(
+        *[_hyperplane_proj(F.col("_v"), dim, i, seed) for i in range(bits)]
+    )
     q = b.filter(F.col(id_col) == query_id).select(
         F.col("_v").alias("_q"),
         _norm(F.col("_v")).alias("_qn"),
-        F.col("bucket").alias("_qb"),
+        F.col("bucket").alias("_qb0"),
+        projs.alias("_projs"),
     )
+    if probes > 1:
+        # bits ranked by |margin| ascending; flip the (probes-1) closest
+        ranked = F.transform(
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda j: F.struct(
+                F.abs(F.element_at(F.col("_projs"), j + 1)).alias("m"),
+                j.alias("j"),
+            ),
+        )
+        flips = F.slice(F.array_sort(ranked), 1, probes - 1)
+        probe_arr = F.concat(
+            F.array(F.col("_qb0")),
+            F.transform(
+                flips,
+                # 2^j as a long (shiftleft needs a literal shift amount)
+                lambda s: F.col("_qb0").bitwiseXOR(
+                    F.pow(F.lit(2.0), s["j"].cast("double")).cast("long")
+                ),
+            ),
+        )
+        q = q.select("_q", "_qn", F.explode(probe_arr).alias("_qb"))
+    else:
+        q = q.select("_q", "_qn", F.col("_qb0").alias("_qb"))
     cand = b.join(F.broadcast(q), b.bucket == F.col("_qb"))
     scored = cand.select(
         id_col,

@@ -316,6 +316,45 @@ def evt_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "evt_json_props",
+    """
+    WITH parsed AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           count(*) AS n,
+           count(k) AS n_parsed,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           min(k) AS min_k,
+           max(k) AS max_k,
+           CAST(sum(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even
+    FROM parsed GROUP BY event_type
+    """,
+)
+def evt_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-payload decode path (the JSONB → JSON text conversion of the
+    reference, JsonConversion.java:55-69, mapped onto ``from_json``):
+    parse the events.props JSON column with an explicit schema, extract
+    the typed field, aggregate — all JVM-side, no UDF."""
+    e = _t(spark, sf_dir, "events")
+    k = F.from_json("props", "k bigint")["k"]
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("k").alias("n_parsed"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum((F.col("k") % 2 == 0).cast("long")).alias("n_even"),
+        )
+    )
+
+
+@_register(
     "evt_hourly_rollup",
     """
     SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
@@ -604,10 +643,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
       JOIN words c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
     ),
+    keep AS (SELECT g FROM grams GROUP BY g HAVING count(*) <= 50),
+    gj AS (SELECT gr.doc_id, gr.g FROM grams gr JOIN keep USING (g)),
     cnt AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
     inter AS (
       SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
-      FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+      FROM gj x JOIN gj y ON x.g = y.g AND x.doc_id < y.doc_id
       GROUP BY x.doc_id, y.doc_id
     )
     SELECT doc_a, doc_b,
@@ -621,7 +662,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup detection: word-3-gram Jaccard ≥ 0.8 over candidate pairs
     sharing a gram (posting-list self-join — the same inverted-index shape
-    MinHash-LSH banding produces, here exact)."""
+    MinHash-LSH banding produces, here exact).  Stop-grams with document
+    frequency > 50 are dropped from the candidate join (the library form's
+    ``max_df`` cap, operators/dedup.py): one ultra-common gram at 100 TB
+    otherwise creates a quadratic posting-list blowup on a single key.
+    Set sizes stay uncapped, so scores are conservative lower bounds and
+    the oracle mirrors the cap exactly."""
     docs2 = _clones(spark, sf_dir)
     grams = (
         docs2.select(
@@ -636,9 +682,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     cnt = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    g2 = grams.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("g"))
+    keep = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= 50)
+        .select("g")
+    )
+    gj = grams.join(keep, "g")
+    g2 = gj.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("g"))
     inter = (
-        grams.join(g2, (grams.g == g2.g) & (grams.doc_id < g2.doc_b))
+        gj.join(g2, (gj.g == g2.g) & (gj.doc_id < g2.doc_b))
         .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
         .agg(F.count(F.lit(1)).alias("i"))
     )
@@ -725,10 +778,12 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register("sim_ann_lsh")
 def sim_ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe LSH ANN: the query's own bucket plus its 3 lowest-margin
+    flipped buckets (recall knob without a full scan)."""
     from binlake_spark.operators.similarity import ann_lsh
 
     e = _t(spark, sf_dir, "embeddings")
-    return ann_lsh(e, query_id=0, dim=64, k=10, bits=4)
+    return ann_lsh(e, query_id=0, dim=64, k=10, bits=4, probes=4)
 
 
 @_register("mm_features")
@@ -937,53 +992,103 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_ivf",
     f"""
     WITH e AS ({_QEMB_SQL}),
-    c AS (SELECT vec_id AS cid, qe AS ce FROM e WHERE vec_id < 4),
-    assign AS (
-      SELECT e.vec_id, e.label, e.qe, c.cid,
-             row_number() OVER (
-               PARTITION BY e.vec_id
-               ORDER BY CAST(list_dot_product(e.qe, c.ce) AS BIGINT) DESC, c.cid
-             ) AS rk
-      FROM e CROSS JOIN c
+    c0 AS (SELECT vec_id AS cid, qe AS ce FROM e WHERE vec_id < 4),
+    a1 AS (
+      SELECT e.vec_id, e.qe,
+             max({{'s': 2 * CAST(list_dot_product(e.qe, c.ce) AS BIGINT)
+                       - CAST(list_dot_product(c.ce, c.ce) AS BIGINT),
+                  'nc': -c.cid, 'cid': c.cid}}).cid AS cell
+      FROM e CROSS JOIN c0 c GROUP BY e.vec_id, e.qe
     ),
-    cells AS (SELECT vec_id, label, qe, cid FROM assign WHERE rk = 1),
-    qcell AS (SELECT cid, qe FROM cells WHERE vec_id = 0)
-    SELECT v.vec_id, v.label, v.cid AS cell,
-           CAST(list_dot_product(v.qe, q.qe) AS BIGINT) AS dot_q
-    FROM cells v JOIN qcell q ON v.cid = q.cid
+    comp AS (
+      SELECT a.cell, generate_subscripts(a.qe, 1) AS pos, unnest(a.qe) AS x
+      FROM a1 a
+    ),
+    cm AS (
+      SELECT cell, pos,
+             CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS m
+      FROM comp GROUP BY cell, pos
+    ),
+    c1 AS (SELECT cell AS cid, list(m ORDER BY pos) AS ce FROM cm GROUP BY cell),
+    a2 AS (
+      SELECT e.vec_id, e.label, e.qe,
+             max({{'s': 2 * CAST(list_dot_product(e.qe, c.ce) AS BIGINT)
+                       - CAST(list_dot_product(c.ce, c.ce) AS BIGINT),
+                  'nc': -c.cid, 'cid': c.cid}}).cid AS cell
+      FROM e CROSS JOIN c1 c GROUP BY e.vec_id, e.label, e.qe
+    ),
+    probe AS (
+      SELECT c.cid AS cell, q.qe AS q_qe
+      FROM (SELECT qe FROM e WHERE vec_id = 0) q CROSS JOIN c1 c
+      ORDER BY 2 * CAST(list_dot_product(q.qe, c.ce) AS BIGINT)
+               - CAST(list_dot_product(c.ce, c.ce) AS BIGINT) DESC, c.cid
+      LIMIT 2
+    )
+    SELECT v.vec_id, v.label, v.cell,
+           CAST(list_dot_product(v.qe, p.q_qe) AS BIGINT) AS dot_q
+    FROM a2 v JOIN probe p ON v.cell = p.cell
     ORDER BY dot_q DESC, vec_id LIMIT 10
     """,
 )
 def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN, the scale path past brute force (sim_topk_dot): K=4
-    centroids (the first vectors — a deterministic stand-in for trained
-    k-means), every vector assigned to its max-dot cell, and the query
-    probes only its own cell.  At 10^9 vectors the cell assignment is the
-    partition pruning: a probe touches 1/K of the data (nprobe=1).  The
-    centroid side is a broadcast cross join; int-quantized dots keep the
-    oracle engine-exact."""
+    """Trained IVF ANN, the scale path past brute force (sim_topk_dot):
+    deterministic seed centroids (first 4 vectors) refined by ONE exact
+    integer Lloyd round (floor-mean components — bit-identical in both
+    engines), every vector assigned to its nearest cell by L2 argmax
+    (2v·c − |c|²) via a max-struct AGGREGATION — map-side combinable, no
+    per-vector window sort, the shape that survives 10^9 vectors — and
+    the query probes its nprobe=2 nearest cells with an exact integer-dot
+    rerank.  At scale the cell column is the partition key, so the probe
+    is partition pruning.  The fully-trained (multi-round, K-configurable)
+    operator form is binlake_spark.operators.ivf (recall-tested in
+    pytest); this query keeps every step int-exact for the oracle."""
     e = _quantized_embeddings(spark, sf_dir)
-    c = e.filter(F.col("vec_id") < 4).select(
-        F.col("vec_id").alias("cid"), F.col("qe").alias("ce")
+
+    def score(ce):
+        return (2 * _ldot(F.col("qe"), ce) - _ldot(ce, ce)).alias("s")
+
+    def assign(df, cents, extra_cols):
+        pick = F.max(
+            F.struct(F.col("s"), (-F.col("cid")).alias("nc"), F.col("cid"))
+        )["cid"].alias("cell")
+        return (
+            df.crossJoin(F.broadcast(cents)).select(
+                *extra_cols, "qe", "cid", score(F.col("ce"))
+            )
+            .groupBy(*extra_cols, "qe")
+            .agg(pick)
+        )
+
+    c0 = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("long").alias("cid"), F.col("qe").alias("ce")
     )
-    assign = e.crossJoin(F.broadcast(c)).select(
-        "vec_id", "label", "qe", "cid", _ldot(F.col("qe"), F.col("ce")).alias("cdot")
+    a1 = assign(e.select("vec_id", "qe"), c0, ["vec_id"])
+    comp = a1.select("cell", F.posexplode("qe").alias("pos", "x"))
+    cm = comp.groupBy("cell", "pos").agg(
+        F.floor(F.sum("x").cast("double") / F.count(F.lit(1))).cast("long").alias("m")
     )
-    w = W.partitionBy("vec_id").orderBy(F.col("cdot").desc(), "cid")
-    cells = (
-        assign.withColumn("rk", F.row_number().over(w))
-        .filter("rk = 1")
-        .select("vec_id", "label", "qe", "cid")
+    c1 = (
+        cm.groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("sm"))
+        .select(
+            F.col("cell").alias("cid"), F.transform("sm", lambda t: t["m"]).alias("ce")
+        )
     )
-    qcell = cells.filter(F.col("vec_id") == 0).select(
-        "cid", F.col("qe").alias("q_qe")
+    a2 = assign(e, c1, ["vec_id", "label"])
+    q = e.filter(F.col("vec_id") == 0).select(F.col("qe").alias("q_qe"))
+    probe = (
+        q.crossJoin(F.broadcast(c1))
+        .select("cid", "q_qe", (2 * _ldot(F.col("q_qe"), F.col("ce")) - _ldot(F.col("ce"), F.col("ce"))).alias("s"))
+        .orderBy(F.col("s").desc(), "cid")
+        .limit(2)
+        .select(F.col("cid").alias("cell"), "q_qe")
     )
     return (
-        cells.join(F.broadcast(qcell), "cid")
+        a2.join(F.broadcast(probe), "cell")
         .select(
             "vec_id",
             "label",
-            F.col("cid").alias("cell"),
+            "cell",
             _ldot(F.col("qe"), F.col("q_qe")).alias("dot_q"),
         )
         .orderBy(F.col("dot_q").desc(), "vec_id")

@@ -63,6 +63,35 @@ DOCS_SCHEMA = T.StructType(
 )
 
 
+class ResumeAheadOfLog(RuntimeError):
+    """The table/checkpoint has applied positions beyond the source log."""
+
+
+def _source_footer_stats(source_dir: str) -> tuple[int, int] | None:
+    """(n_events, max_seq) of a change-log dir from parquet footers —
+    driver-side metadata only, no Spark job.  None when unreadable."""
+    try:
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        n, mx = 0, -1
+        paths = _glob.glob(os.path.join(source_dir, "**", "*.parquet"), recursive=True)
+        if not paths:
+            return None
+        for p in paths:
+            md = _pq.read_metadata(p)
+            n += md.num_rows
+            idx = md.schema.to_arrow_schema().get_field_index("seq")
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(idx)
+                if col.statistics is not None and col.statistics.has_min_max:
+                    mx = max(mx, int(col.statistics.max))
+        return n, mx
+    except Exception:
+        return None
+
+
 class CdcEngine:
     def __init__(
         self,
@@ -373,34 +402,60 @@ class CdcEngine:
             cached.unpersist()
 
     # ------------------------------------------------------------------ #
-    def run_batch_replay(self, spark: SparkSession, source_dir: str) -> MergeResult:
+    def run_batch_replay(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        from_seq: int | None = None,
+        from_ts=None,
+    ) -> MergeResult:
         """Bounded replay as a single batch (FileLogFetcher analog,
         FileLogFetcher.java:1-158) — the correctness harness path.
+
+        ``from_seq`` / ``from_ts``: position bootstrap (the reference's
+        dump-from-position/timestamp resume, TimeTracker.java:53-120):
+        replay only events at or after the given seq / timestamp.  Both
+        are plain pushed predicates, so the parquet scan prunes row
+        groups below the position — no full-log read to skip a prefix.
 
         Unlike streaming micro-batches this input is unbounded, so the
         event count is read from the parquet footers (driver-side metadata,
         no job) and handed to :meth:`apply_batch` as the winner upper bound
         that gates the broadcast-vs-bloom join-back choice."""
         df = spark.read.schema(CHANGE_LOG_SCHEMA).parquet(source_dir)
-        n_events = None
-        try:
-            import glob as _glob
-
-            import pyarrow.parquet as _pq
-
-            n_events = sum(
-                _pq.read_metadata(p).num_rows
-                for p in _glob.glob(
-                    os.path.join(source_dir, "**", "*.parquet"), recursive=True
-                )
-            )
-        except Exception:
-            pass  # unknown size → apply_batch treats it as stream-bounded
+        if from_seq is not None:
+            df = df.filter(F.col("seq") >= int(from_seq))
+        if from_ts is not None:
+            df = df.filter(F.col("ts") >= F.lit(from_ts).cast("timestamp"))
+        stats = _source_footer_stats(source_dir)
         return self.apply_batch(
             df,
             epoch_id=self.table.last_epoch(self.stream_id) + 1,
-            n_events_hint=n_events,
+            n_events_hint=stats[0] if stats else None,
         )
+
+    def assert_source_covers_table(self, source_dir: str) -> None:
+        """Fail fast when this table has applied seqs beyond the source —
+        resuming such a pair silently no-ops every event (the watermark /
+        LWW fences drop everything) and then reports success.  The check
+        is parquet-footer metadata only.  Reference behavior rebuilt:
+        refuse to dump from a position the server no longer covers
+        (GTIDTracker.java:30-51); GTID-form containment is
+        :func:`binlake_spark.operators.gtid.assert_position_covered`."""
+        stats = _source_footer_stats(source_dir)
+        if stats is None:
+            return
+        wms = self.table.snapshot()["watermarks"]
+        if not wms:
+            return
+        applied_max = max(int(w) for w in wms.values())
+        if applied_max > stats[1]:
+            raise ResumeAheadOfLog(
+                f"table has applied seq {applied_max} but source "
+                f"{source_dir!r} ends at seq {stats[1]} — the log was "
+                "truncated/purged past the checkpoint, or this is the "
+                "wrong source for this table"
+            )
 
     def run_stream(
         self,
@@ -413,6 +468,7 @@ class CdcEngine:
         timeout_s: int = 300,
         resume_retries: int = 2,
         retry_backoff_s: float = 2.0,
+        verify_source: bool = True,
     ):
         """Tail the change log with Structured Streaming.
 
@@ -432,6 +488,9 @@ class CdcEngine:
         retries leadership + dump resume on transient errors).
         """
         from pyspark.errors import StreamingQueryException
+
+        if verify_source:
+            self.assert_source_covers_table(source_dir)
 
         reader = spark.readStream.schema(CHANGE_LOG_SCHEMA)
         if max_files_per_trigger:

@@ -237,3 +237,34 @@ def test_before_image_audit(spark, tmp_path):
     e2 = CdcEngine(t2, audit_before_images=True)
     with pytest.raises(BeforeImageMismatch):
         e2.run_batch_replay(spark, src2)
+
+
+def test_position_bootstrap_and_resume_fence(spark, tmp_path):
+    """Position bootstrap (dump-from-seq / from-timestamp) replays exactly
+    the suffix, and resuming a table against a log that no longer covers
+    its applied seqs fails fast instead of silently no-opping."""
+    from binlake_spark.streaming.engine import ResumeAheadOfLog
+
+    spec = GenSpec(n_docs=40, n_events=800, events_per_epoch=400)
+    pdf = generate_change_log(spec)
+    src = str(tmp_path / "log")
+    write_change_log(pdf, src)
+
+    t1 = CdcEngine.create_table(str(tmp_path / "t1"), num_buckets=4)
+    e1 = CdcEngine(t1)
+    e1.run_batch_replay(spark, src, from_seq=401)
+    assert_state_equals_oracle(spark, e1, pdf[pdf.seq >= 401])
+
+    cut = pdf.loc[pdf.seq == 401, "ts"].iloc[0].to_pydatetime()
+    t2 = CdcEngine.create_table(str(tmp_path / "t2"), num_buckets=4)
+    e2 = CdcEngine(t2)
+    e2.run_batch_replay(spark, src, from_ts=cut)
+    assert_state_equals_oracle(spark, e2, pdf[pdf.seq >= 401])
+
+    t3 = CdcEngine.create_table(str(tmp_path / "t3"), num_buckets=4)
+    e3 = CdcEngine(t3)
+    e3.run_batch_replay(spark, src)
+    trunc = str(tmp_path / "trunc")
+    write_change_log(pdf[pdf.epoch_hint == 0], trunc)
+    with pytest.raises(ResumeAheadOfLog):
+        e3.run_stream(spark, trunc, str(tmp_path / "ckpt"))

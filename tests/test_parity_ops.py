@@ -189,3 +189,27 @@ def test_filters_and_keygen(spark):
     # fallback: business grade with no business cols → table key
     fb = df.select(order_key(df, "BUSINESS_KEY_ORDER").alias("k")).collect()
     assert fb[0].k == "db1.orders"
+
+
+def test_gtid_position_containment_assert(spark):
+    """Bootstrap containment (GTIDTracker.java:30-51 analog): a resume
+    position inside the log's executed set passes; one outside fails fast
+    with a clear error."""
+    from binlake_spark.operators.gtid import (
+        GTIDSet,
+        PositionNotInLog,
+        assert_position_covered,
+    )
+
+    import pytest
+
+    log = spark.createDataFrame(
+        [("u1", g) for g in range(1, 11)] + [("u2", g) for g in range(5, 8)],
+        "server_uuid string, gno long",
+    )
+    src = assert_position_covered(log, GTIDSet.parse("u1:3-5,u2:6"))
+    assert str(src) == "u1:1-10,u2:5-7"
+    with pytest.raises(PositionNotInLog):
+        assert_position_covered(log, GTIDSet.parse("u1:9-12"))
+    with pytest.raises(PositionNotInLog):
+        assert_position_covered(log, GTIDSet.parse("u3:1"))
