@@ -162,6 +162,9 @@ def generate_change_log(spec: GenSpec = GenSpec()) -> pd.DataFrame:
             "n_tok": n_tok,
             "source": source,
             "payload": payload,
+            # positioned to match CHANGE_LOG_SCHEMA (createDataFrame's
+            # Arrow path aligns pandas columns by position)
+            "before_payload": None,
             "schema_ver": schema_ver,
             "extra": extra,
         }
@@ -183,7 +186,6 @@ def generate_change_log(spec: GenSpec = GenSpec()) -> pd.DataFrame:
     # RowsLogEvent.java:112-168, entry.proto RowData before/afterColumns
     # :75-117): each U event carries the payload of the key's previous
     # row-change event; I/D/Q events and chain heads carry NULL
-    pdf["before_payload"] = None
     if spec.before_images:
         mask = pdf["op"] != "Q"
         prev = pdf["payload"].where(mask).groupby(pdf["doc_id"].where(mask)).shift(1)

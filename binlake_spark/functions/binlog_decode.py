@@ -1,0 +1,340 @@
+"""MySQL binlog wire-format value decode — the RowsLogBuffer rebuild.
+
+The reference's most-cited subsystem is the byte-level decode of row-image
+values (RowsLogBuffer.fetchValue,
+binlake-wave.dbsync/.../RowsLogBuffer.java:248-1031): NEWDECIMAL's packed
+base-10^9 groups, DATETIME2/TIME2/TIMESTAMP2's packed big-endian fields
+with fractional-second tails.  This module implements those wire formats
+from the *published* MySQL on-disk/binlog format (strings/decimal.c
+``decimal2bin``/``bin2decimal`` and sql-common/my_time.c packing rules —
+public knowledge, not a code port), with:
+
+- **vectorized decode**: fixed-width byte buffers are stacked into a
+  numpy (n, width) uint8 matrix; sign handling, group extraction, and
+  field unpacking are all columnwise array ops.  Only the final
+  ``Decimal``/timestamp object materialization touches Python objects.
+- **encoders** for round-trip tests and synthetic wire data (the
+  reference never encodes — MySQL does — so the encoder here exists to
+  generate test vectors; fixed known-good byte strings from the
+  published format anchor it, see tests/test_binlog_decode.py).
+- :func:`decode_wire_columns` — the Spark integration: an Arrow-batched
+  ``mapInArrow`` pass that decodes binary columns into typed columns
+  (decimal128 / timestamp) in one JVM↔Python round trip, the same fused
+  shape as the engine's token-payload decode (operators/decode.py).
+
+Wire formats implemented:
+
+NEWDECIMAL(P, S): digits packed big-endian in base-10^9 int32 groups;
+  leading partial group of (intg % 9) digits uses DIG2BYTES bytes, then
+  intg//9 full 4-byte groups; fraction likewise (full groups first, then
+  the partial).  The stored buffer is XORed with 0xFF when negative, and
+  the first byte's MSB is flipped (1 = non-negative).
+DATETIME2(fsp): 5 bytes BE = 0x8000000000 + (((year*13+month) << 22) |
+  (day << 17) | (hour << 12) | (minute << 6) | second), then
+  (fsp+1)//2 bytes BE of fractional seconds in units of 10^(2*fb-6)^-1.
+TIMESTAMP2(fsp): 4 bytes BE epoch seconds + the same fractional tail.
+TIME2(fsp): 3 bytes BE = 0x800000 + ((hour << 12) | (minute << 6) |
+  second) for non-negative times, + fractional tail.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import numpy as np
+
+DIG2BYTES = [0, 1, 1, 2, 2, 3, 3, 4, 4, 4]
+
+
+# --------------------------------------------------------------------- #
+# NEWDECIMAL
+# --------------------------------------------------------------------- #
+def newdecimal_bin_size(precision: int, scale: int) -> int:
+    intg = precision - scale
+    intg0, intg0x = divmod(intg, 9)
+    frac0, frac0x = divmod(scale, 9)
+    return intg0 * 4 + DIG2BYTES[intg0x] + frac0 * 4 + DIG2BYTES[frac0x]
+
+
+def _group_layout(precision: int, scale: int) -> list[tuple[int, int, int]]:
+    """[(byte_offset, byte_width, n_digits)] most-significant first."""
+    intg = precision - scale
+    intg0, intg0x = divmod(intg, 9)
+    frac0, frac0x = divmod(scale, 9)
+    out = []
+    pos = 0
+    if intg0x:
+        w = DIG2BYTES[intg0x]
+        out.append((pos, w, intg0x))
+        pos += w
+    for _ in range(intg0):
+        out.append((pos, 4, 9))
+        pos += 4
+    for _ in range(frac0):
+        out.append((pos, 4, 9))
+        pos += 4
+    if frac0x:
+        out.append((pos, DIG2BYTES[frac0x], frac0x))
+    return out
+
+
+def encode_newdecimal(values, precision: int, scale: int) -> list[bytes]:
+    """Encode Decimal/str values to NEWDECIMAL wire bytes (test/vector
+    generator side — MySQL is the producer in production)."""
+    layout = _group_layout(precision, scale)
+    width = newdecimal_bin_size(precision, scale)
+    out = []
+    for v in values:
+        d = Decimal(str(v))
+        # exact unscaled integer via as_tuple — scaleb/quantize would round
+        # at the default context's 28 significant digits (P can be 38)
+        sign, digits, exp = d.as_tuple()
+        neg = sign == 1
+        shift = exp + scale
+        if shift < 0:
+            raise ValueError(f"{d} has more than {scale} fraction digits")
+        unscaled = int("".join(map(str, digits)) or "0") * 10**shift
+        # peel digit groups off the unscaled integer, least significant
+        # first, using each group's digit count from the layout reversed
+        group_vals: list[int] = []
+        rem = unscaled
+        for _, _, nd in reversed(layout):
+            rem, g = divmod(rem, 10**nd)
+            group_vals.append(g)
+        if rem:
+            raise ValueError(f"{d} does not fit DECIMAL({precision},{scale})")
+        group_vals.reverse()
+        buf = bytearray()
+        for (_, w, _), gv in zip(layout, group_vals):
+            buf.extend(int(gv).to_bytes(w, "big"))
+        assert len(buf) == width, (len(buf), width)
+        if neg:
+            buf = bytearray(b ^ 0xFF for b in buf)
+        buf[0] ^= 0x80
+        out.append(bytes(buf))
+    return out
+
+
+def decode_newdecimal(bufs, precision: int, scale: int) -> list[Decimal]:
+    """Vectorized NEWDECIMAL decode: (n, width) uint8 matrix → Decimals."""
+    width = newdecimal_bin_size(precision, scale)
+    n = len(bufs)
+    if n == 0:
+        return []
+    m = np.frombuffer(b"".join(bufs), dtype=np.uint8).reshape(n, width).copy()
+    positive = (m[:, 0] & 0x80) != 0
+    m[:, 0] ^= 0x80
+    m[~positive] ^= 0xFF
+    unscaled = np.zeros(n, dtype=object)
+    for pos, w, nd in _group_layout(precision, scale):
+        gv = np.zeros(n, dtype=np.int64)
+        for k in range(w):
+            gv = gv * 256 + m[:, pos + k]
+        unscaled = unscaled * (10**nd) + gv
+    # exact Decimal construction via as_tuple (no context rounding at P=38)
+    return [
+        Decimal((0 if pos else 1, tuple(int(c) for c in str(int(u))), -scale))
+        for pos, u in zip(positive, unscaled)
+    ]
+
+
+# --------------------------------------------------------------------- #
+# temporal types
+# --------------------------------------------------------------------- #
+def _frac_bytes(fsp: int) -> int:
+    return (fsp + 1) // 2
+
+
+def _read_be(m: np.ndarray, lo: int, hi: int) -> np.ndarray:
+    v = np.zeros(len(m), dtype=np.int64)
+    for k in range(lo, hi):
+        v = v * 256 + m[:, k]
+    return v
+
+
+def _frac_micros(m: np.ndarray, off: int, fsp: int) -> np.ndarray:
+    fb = _frac_bytes(fsp)
+    if fb == 0:
+        return np.zeros(len(m), dtype=np.int64)
+    return _read_be(m, off, off + fb) * 10 ** (6 - 2 * fb)
+
+
+def encode_datetime2(timestamps, fsp: int = 6) -> list[bytes]:
+    """numpy datetime64/pandas Timestamp/datetime → DATETIME2 wire bytes."""
+    import pandas as pd
+
+    fb = _frac_bytes(fsp)
+    out = []
+    for t in timestamps:
+        t = pd.Timestamp(t)
+        packed = (
+            0x8000000000
+            + (((t.year * 13 + t.month) << 22) | (t.day << 17)
+               | (t.hour << 12) | (t.minute << 6) | t.second)
+        )
+        buf = packed.to_bytes(5, "big")
+        if fb:
+            frac = t.microsecond // (10 ** (6 - 2 * fb))
+            buf += int(frac).to_bytes(fb, "big")
+        out.append(buf)
+    return out
+
+
+def decode_datetime2(bufs, fsp: int = 6) -> np.ndarray:
+    """Vectorized DATETIME2 decode → datetime64[us] array."""
+    fb = _frac_bytes(fsp)
+    width = 5 + fb
+    n = len(bufs)
+    if n == 0:
+        return np.array([], dtype="datetime64[us]")
+    m = np.frombuffer(b"".join(bufs), dtype=np.uint8).reshape(n, width)
+    packed = _read_be(m, 0, 5) - 0x8000000000
+    ymd = packed >> 17
+    ym = ymd >> 5
+    day = ymd & 0x1F
+    year = ym // 13
+    month = ym % 13
+    hms = packed & 0x1FFFF
+    hour = hms >> 12
+    minute = (hms >> 6) & 0x3F
+    second = hms & 0x3F
+    micros = _frac_micros(m, 5, fsp)
+    # vectorized calendar → datetime64: months since 1970-01, then days
+    months = (year - 1970) * 12 + (month - 1)
+    base = (np.datetime64("1970-01", "M") + months).astype("datetime64[D]") + (
+        day - 1
+    )
+    return base.astype("datetime64[us]") + (
+        hour * 3_600_000_000 + minute * 60_000_000 + second * 1_000_000 + micros
+    ).astype("timedelta64[us]")
+
+
+def encode_timestamp2(timestamps, fsp: int = 6) -> list[bytes]:
+    import pandas as pd
+
+    fb = _frac_bytes(fsp)
+    out = []
+    for t in timestamps:
+        t = pd.Timestamp(t)
+        epoch = int(t.value // 1_000_000_000)
+        buf = epoch.to_bytes(4, "big")
+        if fb:
+            frac = t.microsecond // (10 ** (6 - 2 * fb))
+            buf += int(frac).to_bytes(fb, "big")
+        out.append(buf)
+    return out
+
+
+def decode_timestamp2(bufs, fsp: int = 6) -> np.ndarray:
+    fb = _frac_bytes(fsp)
+    width = 4 + fb
+    n = len(bufs)
+    if n == 0:
+        return np.array([], dtype="datetime64[us]")
+    m = np.frombuffer(b"".join(bufs), dtype=np.uint8).reshape(n, width)
+    secs = _read_be(m, 0, 4)
+    micros = _frac_micros(m, 4, fsp)
+    return (secs * 1_000_000 + micros).astype("timedelta64[us]") + np.datetime64(
+        "1970-01-01", "us"
+    )
+
+
+def encode_time2(deltas, fsp: int = 6) -> list[bytes]:
+    """timedelta-like (non-negative, < 839 h) → TIME2 wire bytes."""
+    import pandas as pd
+
+    fb = _frac_bytes(fsp)
+    out = []
+    for d in deltas:
+        d = pd.Timedelta(d)
+        total = int(d.value // 1_000)  # us
+        secs, micros = divmod(total, 1_000_000)
+        h, rem = divmod(secs, 3600)
+        mi, s = divmod(rem, 60)
+        packed = 0x800000 + ((h << 12) | (mi << 6) | s)
+        buf = packed.to_bytes(3, "big")
+        if fb:
+            buf += int(micros // (10 ** (6 - 2 * fb))).to_bytes(fb, "big")
+        out.append(buf)
+    return out
+
+
+def decode_time2(bufs, fsp: int = 6) -> np.ndarray:
+    fb = _frac_bytes(fsp)
+    width = 3 + fb
+    n = len(bufs)
+    if n == 0:
+        return np.array([], dtype="timedelta64[us]")
+    m = np.frombuffer(b"".join(bufs), dtype=np.uint8).reshape(n, width)
+    packed = _read_be(m, 0, 3) - 0x800000
+    h = (packed >> 12) & 0x3FF
+    mi = (packed >> 6) & 0x3F
+    s = packed & 0x3F
+    micros = _frac_micros(m, 3, fsp)
+    return (
+        h * 3_600_000_000 + mi * 60_000_000 + s * 1_000_000 + micros
+    ).astype("timedelta64[us]")
+
+
+# --------------------------------------------------------------------- #
+# Spark integration — one fused Arrow pass
+# --------------------------------------------------------------------- #
+def decode_wire_columns(df, specs: dict):
+    """Decode binary wire columns into typed columns in ONE ``mapInArrow``
+    pass (fused like the engine's token decode — the batch crosses the
+    JVM↔Python boundary once, whatever the number of columns).
+
+    ``specs``: {col: ("newdecimal", P, S) | ("datetime2", fsp) |
+    ("timestamp2", fsp) | ("time2", fsp)}.  The binary column is replaced
+    by a typed column of the same name (decimal128(P,S) / timestamp_ntz /
+    duration).
+    """
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    fields = []
+    for f in df.schema.fields:
+        if f.name in specs:
+            kind = specs[f.name][0]
+            if kind == "newdecimal":
+                _, p, s = specs[f.name]
+                fields.append(T.StructField(f.name, T.DecimalType(p, s), True))
+            elif kind in ("datetime2", "timestamp2"):
+                fields.append(T.StructField(f.name, T.TimestampNTZType(), True))
+            elif kind == "time2":
+                fields.append(T.StructField(f.name, T.DayTimeIntervalType(), True))
+            else:
+                raise ValueError(f"unknown wire type {kind!r}")
+        else:
+            fields.append(f)
+    out_schema = T.StructType(fields)
+
+    def fn(batches):
+        for b in batches:
+            cols = []
+            for name, col in zip(b.schema.names, b.columns):
+                if name in specs:
+                    spec = specs[name]
+                    raw = [
+                        v.as_py() for v in col
+                    ]  # fixed-width binaries; nulls unsupported by design
+                    if spec[0] == "newdecimal":
+                        _, p, s = spec
+                        vals = decode_newdecimal(raw, p, s)
+                        cols.append(pa.array(vals, type=pa.decimal128(p, s)))
+                    elif spec[0] == "datetime2":
+                        vals = decode_datetime2(raw, spec[1])
+                        cols.append(pa.array(vals, type=pa.timestamp("us")))
+                    elif spec[0] == "timestamp2":
+                        vals = decode_timestamp2(raw, spec[1])
+                        cols.append(pa.array(vals, type=pa.timestamp("us")))
+                    elif spec[0] == "time2":
+                        vals = decode_time2(raw, spec[1])
+                        cols.append(pa.array(vals, type=pa.duration("us")))
+                else:
+                    cols.append(col)
+            yield pa.RecordBatch.from_arrays(cols, schema=pa.schema(
+                [(n, c.type) for n, c in zip(b.schema.names, cols)]
+            ))
+
+    return df.mapInArrow(fn, out_schema)

@@ -1387,6 +1387,91 @@ def cdc_engine_replay_mor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _wire_table(sf_dir: str) -> str:
+    """Persist (once) a deterministic table pairing MySQL wire-encoded
+    bytes with their source values, so the oracle can read the truth the
+    decoder must reproduce."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from binlake_spark.functions.binlog_decode import (
+        encode_datetime2,
+        encode_newdecimal,
+    )
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    n = max(1_000, int(100_000 * float(sf)))
+    out = f"{_ORACLE_LOG_BASE}/sf{sf}/wire.parquet"
+    marker = f"{_ORACLE_LOG_BASE}/sf{sf}/_SPEC_wire"
+    tag = f"v1:{n}"
+    try:
+        with open(marker) as f:
+            if f.read() == tag:
+                return out
+    except OSError:
+        pass
+    from decimal import Decimal
+
+    rng = np.random.default_rng(1234)
+    decs = [
+        Decimal(int(v)).scaleb(-4)
+        for v in rng.integers(-(10**13), 10**13, size=n)
+    ]
+    ts = [
+        pd.Timestamp("2015-01-01")
+        + pd.Timedelta(int(s), "s")
+        + pd.Timedelta(int(us), "us")
+        for s, us in zip(
+            rng.integers(0, 3 * 10**8, size=n), rng.integers(0, 10**6, size=n)
+        )
+    ]
+    tbl = pa.table(
+        {
+            "row_id": pa.array(np.arange(n, dtype=np.int64)),
+            "dec_str": pa.array([str(d) for d in decs]),
+            "ts_str": pa.array([t.strftime("%Y-%m-%d %H:%M:%S.%f") for t in ts]),
+            "dec_wire": pa.array(encode_newdecimal(decs, 14, 4), type=pa.binary()),
+            "dt_wire": pa.array(encode_datetime2(ts, 6), type=pa.binary()),
+        }
+    )
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    pq.write_table(tbl, out)
+    with open(marker, "w") as f:
+        f.write(tag)
+    return out
+
+
+@_register(
+    "cdc_wire_decode",
+    f"""
+    SELECT row_id, dec_str AS dec, ts_str AS ts
+    FROM '{_ORACLE_LOG_BASE}/sf0.01/wire.parquet'
+    """,
+)
+def cdc_wire_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level binlog value decode (RowsLogBuffer.fetchValue rebuild,
+    RowsLogBuffer.java:248-1031): NEWDECIMAL(14,4) and DATETIME2(6) wire
+    bytes are decoded in one fused mapInArrow pass; the oracle reads the
+    source values the bytes were encoded from, so a hash match proves the
+    vectorized decoder reproduces every value bit-exactly."""
+    from binlake_spark.functions.binlog_decode import decode_wire_columns
+
+    path = _wire_table(sf_dir)
+    df = spark.read.parquet(path).select("row_id", "dec_wire", "dt_wire")
+    dec = decode_wire_columns(
+        df, {"dec_wire": ("newdecimal", 14, 4), "dt_wire": ("datetime2", 6)}
+    )
+    return dec.select(
+        "row_id",
+        F.col("dec_wire").cast("string").alias("dec"),
+        F.date_format("dt_wire", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+    )
+
+
 @_register(
     "cdc_ddl_evolution",
     f"""
