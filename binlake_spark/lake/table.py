@@ -305,6 +305,60 @@ class LakeTable:
     def last_epoch(self, stream_id: str) -> int:
         return int(self.snapshot()["epochs"].get(stream_id, -1))
 
+    # ------------------------------------------------------------------ #
+    # control plane — administrative position/fence overrides
+    # ------------------------------------------------------------------ #
+    def set_stream_epoch(self, stream_id: str, epoch_id: int) -> int:
+        """Administratively set a stream's applied-epoch marker — the
+        rebuild of the tower's set-binlog-position API
+        (binlake-manager SetBinlogPosHandler.java:1-73: an operator moves a
+        dump position back/forward; here the epoch guard is the position).
+
+        Rewinding lets an operator force re-apply of epochs from a new
+        checkpoint; state stays exact because the per-row ``_seq`` LWW
+        makes every replayed change a no-op or a legitimate newer write.
+        Committed as a versioned ``admin`` lineage entry — auditable and
+        atomic like every other commit."""
+        snap = self.snapshot()
+        prev = int(snap["epochs"].get(stream_id, -1))
+        snap["epochs"][stream_id] = int(epoch_id)
+        snap["version"] += 1
+        snap["lineage"].append(
+            {
+                "kind": "admin",
+                "op": "set_stream_epoch",
+                "stream_id": stream_id,
+                "from": prev,
+                "to": int(epoch_id),
+                "version": snap["version"],
+            }
+        )
+        self._write_snapshot(snap)
+        return prev
+
+    def reset_watermarks(self, buckets: list[int] | None = None) -> dict[int, int]:
+        """Administratively clear per-bucket seq fences (all buckets, or a
+        subset) — needed before re-ingesting a regenerated/renumbered log
+        whose seqs restart below the applied fences.  Per-row ``_seq`` LWW
+        still protects the data; only the optional retransmit fence is
+        relaxed.  Returns the cleared {bucket: old_watermark}."""
+        snap = self.snapshot()
+        wms = {int(b): int(w) for b, w in snap["watermarks"].items()}
+        target = set(wms) if buckets is None else {int(b) for b in buckets}
+        cleared = {b: wms.pop(b) for b in sorted(target & set(wms))}
+        snap["watermarks"] = {str(b): w for b, w in sorted(wms.items())}
+        snap["version"] += 1
+        snap["lineage"].append(
+            {
+                "kind": "admin",
+                "op": "reset_watermarks",
+                "buckets": sorted(cleared),
+                "version": snap["version"],
+            }
+        )
+        self._write_snapshot(snap)
+        return cleared
+
     def watermarks_df(self, spark: SparkSession) -> DataFrame:
         snap = self.snapshot()
         rows = [(int(b), int(w)) for b, w in snap["watermarks"].items()]

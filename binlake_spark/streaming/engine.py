@@ -215,11 +215,20 @@ class CdcEngine:
         if self.apply_ddl and "op" in df.columns and "extra" in df.columns:
             from binlake_spark.operators.ddl import classify_ddl, extract_added_columns
 
+            # probe with the narrow (op, seq) projection first — the common
+            # no-DDL epoch never materializes the extra map column
+            has_ddl = (
+                df.filter(F.col("op") == "Q").select("seq").limit(1).count() > 0
+            )
             ddl_rows = (
-                df.filter(F.col("op") == "Q")
-                .select("seq", F.col("extra")["ddl"].alias("_ddl"))
-                .filter(F.col("_ddl").isNotNull())
-                .collect()
+                (
+                    df.filter(F.col("op") == "Q")
+                    .select("seq", F.col("extra")["ddl"].alias("_ddl"))
+                    .filter(F.col("_ddl").isNotNull())
+                    .collect()
+                )
+                if has_ddl
+                else []
             )
             for r in sorted(ddl_rows, key=lambda r: r["seq"]):
                 res = classify_ddl(r["_ddl"])

@@ -239,3 +239,32 @@ def test_enforce_watermark_fences_retransmitted_prefix(spark, tmp_path):
     wm_after = t.snapshot()["watermarks"]
     for b, w in wm_before.items():
         assert int(wm_after[b]) >= int(w)
+
+
+def test_admin_set_epoch_and_reset_watermarks(spark, tmp_path):
+    """Control-plane overrides (tower SetBinlogPosHandler analog): rewind
+    the epoch guard to force re-apply — state stays exact via per-row
+    _seq LWW — and clear watermark fences; both commit as auditable
+    'admin' lineage entries."""
+    t = LakeTable.create(str(tmp_path / "t"), SCHEMA, "doc_id", num_buckets=4)
+    net = _net(spark, [("a", 1, "I", [1, 2], 2, "web"), ("b", 2, "I", [3], 1, "web")])
+    merge_into(spark, t, net, epoch_id=0)
+    merge_into(
+        spark, t, _net(spark, [("a", 5, "U", [9], 1, "web")]), epoch_id=1
+    )
+    # replaying an applied epoch is refused...
+    res = merge_into(spark, t, net, epoch_id=0)
+    assert res.skipped_reason == "epoch-already-applied"
+    # ...until an operator rewinds the guard
+    prev = t.set_stream_epoch("default", -1)
+    assert prev == 1
+    res = merge_into(spark, t, net, epoch_id=0)
+    assert res.applied
+    rows = {r.doc_id: r for r in t.read(spark, with_seq=True).collect()}
+    assert rows["a"]._seq == 5 and list(rows["a"].tokens) == [9]  # LWW held
+    assert rows["b"]._seq == 2
+
+    cleared = t.reset_watermarks()
+    assert cleared and t.snapshot()["watermarks"] == {}
+    kinds = [e.get("op") for e in t._all_lineage() if e.get("kind") == "admin"]
+    assert kinds == ["set_stream_epoch", "reset_watermarks"]
