@@ -303,6 +303,8 @@ def decode_wire_columns(df, specs: dict):
                 fields.append(T.StructField(f.name, T.TimestampNTZType(), True))
             elif kind == "time2":
                 fields.append(T.StructField(f.name, T.DayTimeIntervalType(), True))
+            elif kind == "jsonb":
+                fields.append(T.StructField(f.name, T.StringType(), True))
             else:
                 raise ValueError(f"unknown wire type {kind!r}")
         else:
@@ -331,6 +333,8 @@ def decode_wire_columns(df, specs: dict):
                     elif spec[0] == "time2":
                         vals = decode_time2(raw, spec[1])
                         cols.append(pa.array(vals, type=pa.duration("us")))
+                    elif spec[0] == "jsonb":
+                        cols.append(pa.array(decode_jsonb(raw), type=pa.string()))
                 else:
                     cols.append(col)
             yield pa.RecordBatch.from_arrays(cols, schema=pa.schema(
@@ -338,3 +342,199 @@ def decode_wire_columns(df, specs: dict):
             ))
 
     return df.mapInArrow(fn, out_schema)
+
+
+# --------------------------------------------------------------------- #
+# JSONB — MySQL binary JSON → JSON text
+# --------------------------------------------------------------------- #
+# The reference's JsonConversion.parse_value walk
+# (binlake-wave.dbsync/.../JsonConversion.java:55-69, +418 total) rebuilt
+# from the published json_binary format: a type byte then a payload;
+# objects/arrays store element counts + byte sizes + offset tables with
+# small (2-byte) and large (4-byte) variants; int16/uint16 (+int32/uint32
+# in large containers) and literals are inlined in the offset slot;
+# strings carry a varint length.  Decode is per-value recursive (as in the
+# reference) but runs inside Arrow batches via decode_wire_columns-style
+# usage — the JVM↔Python boundary is crossed once per batch, not per row.
+
+_JSONB_SMALL_OBJECT = 0x00
+_JSONB_LARGE_OBJECT = 0x01
+_JSONB_SMALL_ARRAY = 0x02
+_JSONB_LARGE_ARRAY = 0x03
+_JSONB_LITERAL = 0x04
+_JSONB_INT16 = 0x05
+_JSONB_UINT16 = 0x06
+_JSONB_INT32 = 0x07
+_JSONB_UINT32 = 0x08
+_JSONB_INT64 = 0x09
+_JSONB_UINT64 = 0x0A
+_JSONB_DOUBLE = 0x0B
+_JSONB_STRING = 0x0C
+
+
+def _jsonb_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    """Variable-length string length: 7 bits per byte, high bit = more."""
+    n, shift = 0, 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return n, pos
+        shift += 7
+
+
+def _jsonb_value(type_byte: int, buf: bytes, pos: int):
+    import struct
+
+    if type_byte in (_JSONB_SMALL_OBJECT, _JSONB_LARGE_OBJECT,
+                     _JSONB_SMALL_ARRAY, _JSONB_LARGE_ARRAY):
+        large = type_byte in (_JSONB_LARGE_OBJECT, _JSONB_LARGE_ARRAY)
+        is_obj = type_byte in (_JSONB_SMALL_OBJECT, _JSONB_LARGE_OBJECT)
+        w = 4 if large else 2
+        base = pos
+        count = int.from_bytes(buf[pos : pos + w], "little")
+        pos += 2 * w  # count + total size
+        keys = []
+        if is_obj:
+            for i in range(count):
+                off = int.from_bytes(buf[pos : pos + w], "little")
+                klen = int.from_bytes(buf[pos + w : pos + w + 2], "little")
+                keys.append((off, klen))
+                pos += w + 2
+        vals = []
+        for i in range(count):
+            vt = buf[pos]
+            slot = pos + 1
+            if vt == _JSONB_LITERAL:
+                lit = buf[slot]
+                vals.append({0: None, 1: True, 2: False}[lit])
+            elif vt == _JSONB_INT16:
+                vals.append(struct.unpack_from("<h", buf, slot)[0])
+            elif vt == _JSONB_UINT16:
+                vals.append(struct.unpack_from("<H", buf, slot)[0])
+            elif large and vt == _JSONB_INT32:
+                vals.append(struct.unpack_from("<i", buf, slot)[0])
+            elif large and vt == _JSONB_UINT32:
+                vals.append(struct.unpack_from("<I", buf, slot)[0])
+            else:
+                off = int.from_bytes(buf[slot : slot + w], "little")
+                vals.append(_jsonb_value(vt, buf, base + off))
+            pos += 1 + w
+        if is_obj:
+            out = {}
+            for (koff, klen), v in zip(keys, vals):
+                k = buf[base + koff : base + koff + klen].decode("utf-8")
+                out[k] = v
+            return out
+        return vals
+    if type_byte == _JSONB_LITERAL:
+        return {0: None, 1: True, 2: False}[buf[pos]]
+    if type_byte == _JSONB_INT16:
+        return int.from_bytes(buf[pos : pos + 2], "little", signed=True)
+    if type_byte == _JSONB_UINT16:
+        return int.from_bytes(buf[pos : pos + 2], "little")
+    if type_byte == _JSONB_INT32:
+        return int.from_bytes(buf[pos : pos + 4], "little", signed=True)
+    if type_byte == _JSONB_UINT32:
+        return int.from_bytes(buf[pos : pos + 4], "little")
+    if type_byte == _JSONB_INT64:
+        return int.from_bytes(buf[pos : pos + 8], "little", signed=True)
+    if type_byte == _JSONB_UINT64:
+        return int.from_bytes(buf[pos : pos + 8], "little")
+    if type_byte == _JSONB_DOUBLE:
+        import struct
+
+        return struct.unpack_from("<d", buf, pos)[0]
+    if type_byte == _JSONB_STRING:
+        n, pos = _jsonb_varint(buf, pos)
+        return buf[pos : pos + n].decode("utf-8")
+    raise ValueError(f"unsupported JSONB type byte 0x{type_byte:02x}")
+
+
+def decode_jsonb(bufs) -> list[str | None]:
+    """JSONB wire values → JSON text (sorted keys for determinism)."""
+    import json
+
+    out = []
+    for b in bufs:
+        if b is None or len(b) == 0:
+            out.append(None)
+            continue
+        val = _jsonb_value(b[0], b, 1)
+        out.append(json.dumps(val, sort_keys=True, separators=(",", ":")))
+    return out
+
+
+def encode_jsonb(values) -> list[bytes]:
+    """Python values → JSONB wire bytes (small-variant containers; the
+    test/vector generator side — MySQL is the producer in production)."""
+    def enc(v) -> tuple[int, bytes]:
+        import struct
+
+        if v is None:
+            return _JSONB_LITERAL, b"\x00"
+        if v is True:
+            return _JSONB_LITERAL, b"\x01"
+        if v is False:
+            return _JSONB_LITERAL, b"\x02"
+        if isinstance(v, int):
+            if -(2**15) <= v < 2**15:
+                return _JSONB_INT16, struct.pack("<h", v)
+            if -(2**31) <= v < 2**31:
+                return _JSONB_INT32, struct.pack("<i", v)
+            return _JSONB_INT64, struct.pack("<q", v)
+        if isinstance(v, float):
+            return _JSONB_DOUBLE, struct.pack("<d", v)
+        if isinstance(v, str):
+            raw = v.encode("utf-8")
+            n, ln = len(raw), b""
+            while True:
+                b7 = n & 0x7F
+                n >>= 7
+                ln += bytes([b7 | (0x80 if n else 0)])
+                if not n:
+                    break
+            return _JSONB_STRING, ln + raw
+        if isinstance(v, (list, dict)):
+            is_obj = isinstance(v, dict)
+            items = sorted(v.items()) if is_obj else [(None, x) for x in v]
+            count = len(items)
+            w = 2
+            header = 2 * w + count * ((w + 2) if is_obj else 0) + count * (1 + w)
+            keys_raw = [k.encode("utf-8") for k, _ in items] if is_obj else []
+            key_area = sum(len(k) for k in keys_raw)
+            entries = []
+            tail = b""
+            tail_base = header + key_area
+            for _, x in items:
+                t, payload = enc(x)
+                # inline what fits the 2-byte slot; else offset into tail
+                if t == _JSONB_LITERAL or t in (_JSONB_INT16, _JSONB_UINT16):
+                    entries.append((t, payload.ljust(w, b"\x00"), None))
+                else:
+                    entries.append((t, None, tail_base + len(tail)))
+                    tail += payload
+            total = tail_base + len(tail)
+            buf = bytearray()
+            buf += count.to_bytes(w, "little") + total.to_bytes(w, "little")
+            if is_obj:
+                koff = header
+                for k in keys_raw:
+                    buf += koff.to_bytes(w, "little") + len(k).to_bytes(2, "little")
+                    koff += len(k)
+            for t, inline, off in entries:
+                buf += bytes([t])
+                buf += inline if inline is not None else off.to_bytes(w, "little")
+            for k in keys_raw:
+                buf += k
+            buf += tail
+            typ = _JSONB_SMALL_OBJECT if is_obj else _JSONB_SMALL_ARRAY
+            return typ, bytes(buf)
+        raise TypeError(f"cannot encode {type(v)} as JSONB")
+
+    out = []
+    for v in values:
+        t, payload = enc(v)
+        out.append(bytes([t]) + payload)
+    return out

@@ -1073,6 +1073,9 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("cell").alias("cid"), F.transform("sm", lambda t: t["m"]).alias("ce")
         )
+        # K tiny rows consumed by three downstream plans (assignment, probe,
+        # rerank) — checkpoint so training runs once, not three times
+        .localCheckpoint()
     )
     a2 = assign(e, c1, ["vec_id", "label"])
     q = e.filter(F.col("vec_id") == 0).select(F.col("qe").alias("q_qe"))
@@ -1400,6 +1403,7 @@ def _wire_table(sf_dir: str) -> str:
 
     from binlake_spark.functions.binlog_decode import (
         encode_datetime2,
+        encode_jsonb,
         encode_newdecimal,
     )
 
@@ -1407,7 +1411,7 @@ def _wire_table(sf_dir: str) -> str:
     n = max(1_000, int(100_000 * float(sf)))
     out = f"{_ORACLE_LOG_BASE}/sf{sf}/wire.parquet"
     marker = f"{_ORACLE_LOG_BASE}/sf{sf}/_SPEC_wire"
-    tag = f"v1:{n}"
+    tag = f"v2:{n}"
     try:
         with open(marker) as f:
             if f.read() == tag:
@@ -1429,13 +1433,30 @@ def _wire_table(sf_dir: str) -> str:
             rng.integers(0, 3 * 10**8, size=n), rng.integers(0, 10**6, size=n)
         )
     ]
+    props = [
+        {
+            "k": int(rng.integers(-(2**20), 2**20)),
+            "tags": [str(int(x)) for x in rng.integers(0, 100, size=int(rng.integers(0, 4)))],
+            "flag": bool(rng.random() < 0.5),
+        }
+        for _ in range(n)
+    ]
+    import json as _json
+
+    props_wire = encode_jsonb(props)
     tbl = pa.table(
         {
             "row_id": pa.array(np.arange(n, dtype=np.int64)),
             "dec_str": pa.array([str(d) for d in decs]),
             "ts_str": pa.array([t.strftime("%Y-%m-%d %H:%M:%S.%f") for t in ts]),
+            # canonical text straight from the source values (NOT via our
+            # decoder) so the oracle row is independent of the code under test
+            "props_str": pa.array(
+                [_json.dumps(p, sort_keys=True, separators=(",", ":")) for p in props]
+            ),
             "dec_wire": pa.array(encode_newdecimal(decs, 14, 4), type=pa.binary()),
             "dt_wire": pa.array(encode_datetime2(ts, 6), type=pa.binary()),
+            "props_wire": pa.array(props_wire, type=pa.binary()),
         }
     )
     os.makedirs(os.path.dirname(out), exist_ok=True)
@@ -1448,27 +1469,36 @@ def _wire_table(sf_dir: str) -> str:
 @_register(
     "cdc_wire_decode",
     f"""
-    SELECT row_id, dec_str AS dec, ts_str AS ts
+    SELECT row_id, dec_str AS dec, ts_str AS ts, props_str AS props
     FROM '{_ORACLE_LOG_BASE}/sf0.01/wire.parquet'
     """,
 )
 def cdc_wire_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-level binlog value decode (RowsLogBuffer.fetchValue rebuild,
-    RowsLogBuffer.java:248-1031): NEWDECIMAL(14,4) and DATETIME2(6) wire
-    bytes are decoded in one fused mapInArrow pass; the oracle reads the
-    source values the bytes were encoded from, so a hash match proves the
-    vectorized decoder reproduces every value bit-exactly."""
+    RowsLogBuffer.java:248-1031 + JsonConversion.java:55-69):
+    NEWDECIMAL(14,4), DATETIME2(6), and binary-JSON (JSONB) wire bytes are
+    decoded in one fused mapInArrow pass; the oracle reads the source
+    values the bytes were encoded from, so a hash match proves the decoder
+    reproduces every value bit-exactly."""
     from binlake_spark.functions.binlog_decode import decode_wire_columns
 
     path = _wire_table(sf_dir)
-    df = spark.read.parquet(path).select("row_id", "dec_wire", "dt_wire")
+    df = spark.read.parquet(path).select(
+        "row_id", "dec_wire", "dt_wire", "props_wire"
+    )
     dec = decode_wire_columns(
-        df, {"dec_wire": ("newdecimal", 14, 4), "dt_wire": ("datetime2", 6)}
+        df,
+        {
+            "dec_wire": ("newdecimal", 14, 4),
+            "dt_wire": ("datetime2", 6),
+            "props_wire": ("jsonb",),
+        },
     )
     return dec.select(
         "row_id",
         F.col("dec_wire").cast("string").alias("dec"),
         F.date_format("dt_wire", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.col("props_wire").alias("props"),
     )
 
 

@@ -131,3 +131,43 @@ def test_decode_wire_columns_spark(spark):
     for i in range(n):
         assert rows[i].price_wire == decs[i], i
         assert pd.Timestamp(rows[i].at_wire) == ts[i], i
+
+
+def test_jsonb_known_vector():
+    """Hand-packed small object {"k": 17}: count/size header, key entry
+    (offset 11, len 1), inlined int16 value entry, then the key bytes."""
+    from binlake_spark.functions.binlog_decode import decode_jsonb, encode_jsonb
+
+    raw = bytes.fromhex("0001000c000b0001000511006b")
+    assert decode_jsonb([raw]) == ['{"k":17}']
+    assert encode_jsonb([{"k": 17}]) == [raw]
+
+
+def test_jsonb_roundtrip():
+    from binlake_spark.functions.binlog_decode import decode_jsonb, encode_jsonb
+
+    import json
+
+    vals = [
+        None,
+        True,
+        False,
+        0,
+        -1,
+        32767,
+        -32768,
+        2**20,
+        -(2**40),
+        3.5,
+        "",
+        "héllo",
+        "x" * 300,  # multi-byte varint length
+        [],
+        {},
+        [1, "two", None, [3, {"a": False}]],
+        {"k": 17, "nested": {"deep": [1.25, "s"]}, "arr": [True, 2]},
+    ]
+    got = decode_jsonb(encode_jsonb(vals))
+    want = [json.dumps(v, sort_keys=True, separators=(",", ":")) for v in vals]
+    assert got == want
+    assert decode_jsonb([None, b""]) == [None, None]
