@@ -1411,7 +1411,7 @@ def _wire_table(sf_dir: str) -> str:
     n = max(1_000, int(100_000 * float(sf)))
     out = f"{_ORACLE_LOG_BASE}/sf{sf}/wire.parquet"
     marker = f"{_ORACLE_LOG_BASE}/sf{sf}/_SPEC_wire"
-    tag = f"v2:{n}"
+    tag = f"v3:{n}"
     try:
         with open(marker) as f:
             if f.read() == tag:
@@ -1443,7 +1443,27 @@ def _wire_table(sf_dir: str) -> str:
     ]
     import json as _json
 
+    from binlake_spark.functions.binlog_decode import ColumnSpec, encode_row_images
+
     props_wire = encode_jsonb(props)
+    # packed ROWS_EVENT row images: null bitmap + values; price NULL on
+    # every 7th row so the bitmap path is exercised
+    ri_specs = [
+        ColumnSpec("ri_price", "newdecimal", (14, 4)),
+        ColumnSpec("ri_at", "datetime2", (6,)),
+        ColumnSpec("ri_name", "varchar", (100,)),
+    ]
+    row_images = encode_row_images(
+        [
+            {
+                "ri_price": None if i % 7 == 0 else decs[i],
+                "ri_at": ts[i],
+                "ri_name": f"doc-{i}",
+            }
+            for i in range(n)
+        ],
+        ri_specs,
+    )
     tbl = pa.table(
         {
             "row_id": pa.array(np.arange(n, dtype=np.int64)),
@@ -1457,6 +1477,7 @@ def _wire_table(sf_dir: str) -> str:
             "dec_wire": pa.array(encode_newdecimal(decs, 14, 4), type=pa.binary()),
             "dt_wire": pa.array(encode_datetime2(ts, 6), type=pa.binary()),
             "props_wire": pa.array(props_wire, type=pa.binary()),
+            "row_image": pa.array(row_images, type=pa.binary()),
         }
     )
     os.makedirs(os.path.dirname(out), exist_ok=True)
@@ -1499,6 +1520,43 @@ def cdc_wire_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dec_wire").cast("string").alias("dec"),
         F.date_format("dt_wire", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
         F.col("props_wire").alias("props"),
+    )
+
+
+@_register(
+    "cdc_row_image_decode",
+    f"""
+    SELECT row_id,
+           CASE WHEN row_id % 7 = 0 THEN NULL ELSE dec_str END AS ri_price,
+           ts_str AS ri_at,
+           'doc-' || CAST(row_id AS VARCHAR) AS ri_name
+    FROM '{_ORACLE_LOG_BASE}/sf0.01/wire.parquet'
+    """,
+)
+def cdc_row_image_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed ROWS_EVENT row-image decode end-to-end (the
+    RowsLogBuffer.fetchOneRow walk, RowsLogBuffer.java:248-1031): null
+    bitmap + packed NEWDECIMAL/DATETIME2/VARCHAR values → typed columns
+    in one fused mapInArrow pass; the oracle recomputes the truth from
+    the source columns, including the NULL-bitmap rows."""
+    from binlake_spark.functions.binlog_decode import ColumnSpec, decode_row_images
+
+    path = _wire_table(sf_dir)
+    df = spark.read.parquet(path).select("row_id", "row_image")
+    out = decode_row_images(
+        df,
+        "row_image",
+        [
+            ColumnSpec("ri_price", "newdecimal", (14, 4)),
+            ColumnSpec("ri_at", "datetime2", (6,)),
+            ColumnSpec("ri_name", "varchar", (100,)),
+        ],
+    )
+    return out.select(
+        "row_id",
+        F.col("ri_price").cast("string").alias("ri_price"),
+        F.date_format("ri_at", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ri_at"),
+        "ri_name",
     )
 
 
