@@ -275,3 +275,68 @@ def test_decode_row_images_spark(spark):
         getattr(nullrow, c) is None
         for c in ("score", "big_u", "price", "d", "at", "name", "props")
     )
+
+
+# ---------------------- property-based round-trips ---------------------- #
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+if HAVE_HYPOTHESIS:
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.integers(min_value=-(10**27 - 1), max_value=10**27 - 1),
+    )
+    def test_newdecimal_property_roundtrip(unscaled):
+        from binlake_spark.functions.binlog_decode import (
+            decode_newdecimal,
+            encode_newdecimal,
+        )
+
+        v = Decimal(unscaled).scaleb(-13)
+        [d] = decode_newdecimal(encode_newdecimal([v], 27, 13), 27, 13)
+        assert d == v
+
+    _JSON = st.recursive(
+        st.none()
+        | st.booleans()
+        | st.integers(min_value=-(2**62), max_value=2**62)
+        | st.floats(allow_nan=False, allow_infinity=False, width=64)
+        | st.text(max_size=40),
+        lambda children: st.lists(children, max_size=4)
+        | st.dictionaries(st.text(max_size=10), children, max_size=4),
+        max_leaves=12,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(_JSON)
+    def test_jsonb_property_roundtrip(value):
+        import json
+
+        from binlake_spark.functions.binlog_decode import decode_jsonb, encode_jsonb
+
+        [got] = decode_jsonb(encode_jsonb([value]))
+        assert got == json.dumps(value, sort_keys=True, separators=(",", ":"))
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        # secs capped by the ns-backed Timedelta range (~9.2e9 s)
+        st.integers(min_value=0, max_value=9_000_000_000),
+        st.integers(min_value=0, max_value=999999),
+    )
+    def test_datetime2_property_roundtrip(secs, micros):
+        from binlake_spark.functions.binlog_decode import (
+            decode_datetime2,
+            encode_datetime2,
+        )
+
+        t = pd.Timestamp("1700-01-01") + pd.Timedelta(int(secs), "s") + pd.Timedelta(
+            int(micros), "us"
+        )
+        [d] = decode_datetime2(encode_datetime2([t], 6), 6)
+        assert pd.Timestamp(d) == t
