@@ -205,39 +205,7 @@ class CdcEngine:
         df = batch_df
         has_payload = self.decode_payload and "payload" in df.columns
 
-        # 0. statement events (QUERY_EVENT analog): classify DDL text and
-        #    apply additive ALTERs to the table schema before the data path
-        #    — the reference's DDL→refreshTableCache loop
-        #    (BinlogWorker.java:999-1054, SimpleDdlParser.java:55-140).
-        #    One skinny scan per epoch: only (seq, extra['ddl']) under a
-        #    pushed op='Q' predicate; DDL events are rare, the collect is
-        #    a handful of rows.
-        if self.apply_ddl and "op" in df.columns and "extra" in df.columns:
-            from binlake_spark.operators.ddl import classify_ddl, extract_added_columns
-
-            # probe with the narrow (op, seq) projection first — the common
-            # no-DDL epoch never materializes the extra map column
-            has_ddl = (
-                df.filter(F.col("op") == "Q").select("seq").limit(1).count() > 0
-            )
-            ddl_rows = (
-                (
-                    df.filter(F.col("op") == "Q")
-                    .select("seq", F.col("extra")["ddl"].alias("_ddl"))
-                    .filter(F.col("_ddl").isNotNull())
-                    .collect()
-                )
-                if has_ddl
-                else []
-            )
-            for r in sorted(ddl_rows, key=lambda r: r["seq"]):
-                res = classify_ddl(r["_ddl"])
-                if res.type == "ALTER":  # add-column-only rule
-                    cols = extract_added_columns(r["_ddl"])
-                    if cols:
-                        self.table.add_columns(cols)
-
-        # 0b. opt-in before-image audit (RowsLogEvent (before, after) pairs,
+        # 0. opt-in before-image audit (RowsLogEvent (before, after) pairs,
         #     entry.proto RowData :75-117): every U event's before image
         #     must match its chain predecessor (in-batch event or current
         #     table row).  A divergence is surfaced as an error, never
@@ -271,6 +239,19 @@ class CdcEngine:
         if "extra" in df.columns:
             keep.append("extra")
         df = df.select(*[c for c in keep if c in df.columns])
+        # statement-event detection rides the materialize job for free: an
+        # Observation on the pre-filter node counts op='Q' rows while the
+        # scan runs anyway — the common no-DDL epoch pays ZERO extra jobs;
+        # only when the count is nonzero does the (rare) targeted collect
+        # + ALTER application run (see step 3b below).
+        ddl_obs = None
+        if self.apply_ddl and "op" in df.columns and "extra" in df.columns:
+            from pyspark.sql import Observation
+
+            ddl_obs = Observation(f"ddl-{self.stream_id}-{epoch_id}")
+            df = df.observe(
+                ddl_obs, F.sum((F.col("op") == "Q").cast("long")).alias("n_q")
+            )
         df = df.filter(F.col("op").isin("I", "U", "D"))
         if has_payload:
             df = df.filter(F.octet_length("payload") == F.col("n_tok") * 4)
@@ -363,6 +344,31 @@ class CdcEngine:
                 else []
             )
             phases["materialize_ms"] = int((time.monotonic() - t0) * 1000)
+
+            # 3b. statement events (QUERY_EVENT analog): the materialize
+            #     job fired the observation; when DDL rows exist, classify
+            #     each (SimpleDdlParser.java:55-140) and apply additive
+            #     ALTERs to the table — the reference's
+            #     DDL→refreshTableCache loop (BinlogWorker.java:999-1054).
+            #     Must land before the MERGE reads the snapshot schema.
+            if ddl_obs is not None and int(ddl_obs.get["n_q"] or 0) > 0:
+                from binlake_spark.operators.ddl import (
+                    classify_ddl,
+                    extract_added_columns,
+                )
+
+                ddl_rows = (
+                    batch_df.filter(F.col("op") == "Q")
+                    .select("seq", F.col("extra")["ddl"].alias("_ddl"))
+                    .filter(F.col("_ddl").isNotNull())
+                    .collect()
+                )
+                for r in sorted(ddl_rows, key=lambda r: r["seq"]):
+                    res = classify_ddl(r["_ddl"])
+                    if res.type == "ALTER":  # add-column-only rule
+                        cols = extract_added_columns(r["_ddl"])
+                        if cols:
+                            self.table.add_columns(cols)
 
             # 4. additive schema evolution on winners: promote new `extra`
             #    keys to real columns (add-column-only, BinlogWorker.java:1079)
