@@ -351,7 +351,16 @@ class CdcEngine:
             #     ALTERs to the table — the reference's
             #     DDL→refreshTableCache loop (BinlogWorker.java:999-1054).
             #     Must land before the MERGE reads the snapshot schema.
-            if ddl_obs is not None and int(ddl_obs.get["n_q"] or 0) > 0:
+            n_q = None
+            if ddl_obs is not None:
+                try:
+                    n_q = int(ddl_obs.get["n_q"] or 0)
+                except Exception:
+                    # degenerate plans (e.g. a batch whose every row is a
+                    # statement event → empty aggregation) can lose the
+                    # metrics row; fall back to the targeted probe
+                    n_q = None
+            if ddl_obs is not None and (n_q is None or n_q > 0):
                 from binlake_spark.operators.ddl import (
                     classify_ddl,
                     extract_added_columns,

@@ -268,3 +268,36 @@ def test_position_bootstrap_and_resume_fence(spark, tmp_path):
     write_change_log(pdf[pdf.epoch_hint == 0], trunc)
     with pytest.raises(ResumeAheadOfLog):
         e3.run_stream(spark, trunc, str(tmp_path / "ckpt"))
+
+
+def test_ddl_only_epoch_applies_alter_and_commits(spark, tmp_path):
+    """An epoch whose only event is a QUERY/DDL statement still applies
+    the ALTER and commits the epoch marker (empty-batch path), so a
+    replay of that epoch is a no-op."""
+    import pandas as pd
+
+    from binlake_spark.changelog.generator import (
+        CHANGE_LOG_SCHEMA,
+        DDL_STATEMENT,
+    )
+
+    base = generate_change_log(GenSpec(n_docs=5, n_events=10))
+    ddl_row = base.iloc[:1].copy()
+    ddl_row["seq"] = [999]
+    ddl_row["op"] = ["Q"]
+    ddl_row["doc_id"] = [""]
+    ddl_row["tokens"] = [[]]
+    ddl_row["n_tok"] = [0]
+    ddl_row["payload"] = [b""]
+    ddl_row["extra"] = [[("ddl", DDL_STATEMENT)]]
+    src = str(tmp_path / "log")
+    write_change_log(pd.concat([ddl_row], ignore_index=True), src)
+
+    table = CdcEngine.create_table(str(tmp_path / "docs"), num_buckets=4)
+    engine = CdcEngine(table)
+    log = spark.read.schema(CHANGE_LOG_SCHEMA).parquet(src)
+    res = engine.apply_batch(log, epoch_id=0)
+    assert res.applied and res.skipped_reason == "empty-batch"
+    names = [f.name for f in table.schema().fields]
+    assert "lang" in names and "quality" in names
+    assert engine.apply_batch(log, epoch_id=0).skipped_reason == "epoch-already-applied"
