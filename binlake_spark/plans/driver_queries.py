@@ -866,6 +866,44 @@ def _tokens_sig():
     ).alias("tokens_sig")
 
 
+@_register(
+    "mm_features_exact",
+    """
+    WITH chars AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, length(text) AS n_bytes,
+             CAST(ascii(unnest(string_split(text, ''))) // 16 AS BIGINT) AS bin
+      FROM documents
+    )
+    SELECT doc_id, bin, count(*) AS cnt, n_bytes
+    FROM chars GROUP BY doc_id, bin, n_bytes
+    """,
+)
+def mm_features_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal feature extraction made oracle-exact: the Arrow
+    feature pass (16-bin byte histogram, normalized float32) runs for
+    real, and the exact integer histogram is recovered from the floats
+    (round(f·n_bytes) — the float32 quantization error is ≤ n·2⁻²⁴ ≪ ½,
+    so the rounding is provably exact) and hash-compared against DuckDB's
+    independent per-character histogram.  documents.text is ASCII at the
+    driver SFs, so byte bins == character-code bins."""
+    from binlake_spark.operators.multimodal import extract_features, make_media_table
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    feats = extract_features(make_media_table(spark, d))
+    return (
+        feats.select(
+            "doc_id",
+            "n_bytes",
+            F.posexplode(F.slice("features", 1, 16)).alias("bin", "f"),
+        )
+        .withColumn("cnt", F.round(F.col("f") * F.col("n_bytes")).cast("long"))
+        .filter(F.col("cnt") > 0)
+        .select("doc_id", F.col("bin").cast("long").alias("bin"), "cnt", "n_bytes")
+    )
+
+
 @_register("cdc_engine_replay", _REPLAY_ORACLE_SQL)
 def cdc_engine_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine itself, end-to-end at driver scale: deterministic
