@@ -586,7 +586,12 @@ def decode_int_le(bufs, width: int, signed: bool = True) -> np.ndarray:
     for k in range(width - 1, -1, -1):
         v = (v << np.uint64(8)) | m[:, k].astype(np.uint64)
     if not signed:
-        return v.astype(np.int64) if width < 8 else v.view(np.int64)
+        if width == 8:
+            # full unsigned-BIGINT range: exact python ints (an int64 view
+            # would go negative past 2^63 — the Carrier promotion widens
+            # to DECIMAL(20,0) instead, TableRowsParser.java:155-186)
+            return np.array([int(x) for x in v.tolist()], dtype=object)
+        return v.astype(np.int64)
     out = v.astype(np.int64)
     if width < 8:
         sign_bit = np.int64(1) << np.int64(8 * width - 1)

@@ -97,8 +97,14 @@ def classify_ddl(sql: str, default_schema: str | None = None) -> DdlResult:
 
 
 # --- additive-evolution extraction (the part the engine applies) -------- #
+# the negative lookahead keeps ADD INDEX/KEY/UNIQUE/CONSTRAINT/... clauses
+# from being misread as column definitions (a backticked column that
+# happens to be named `index` still parses: the quote breaks the \b match)
 _ADD_COLUMN = re.compile(
-    r"ADD\s+(?:COLUMN\s+)?[`\"']?(\w+)[`\"']?\s+([\w()]+)", re.I
+    r"ADD\s+(?:COLUMN\s+)?"
+    r"(?!(?:INDEX|KEY|UNIQUE|CONSTRAINT|PRIMARY|FOREIGN|FULLTEXT|SPATIAL|PARTITION)\b)"
+    r"[`\"']?(\w+)[`\"']?\s+([\w()]+)",
+    re.I,
 )
 
 _MYSQL_TO_SPARK = {

@@ -329,7 +329,7 @@ def evt_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(k) AS BIGINT) AS sum_k,
            min(k) AS min_k,
            max(k) AS max_k,
-           CAST(sum(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even
+           CAST(sum(CASE WHEN k % 2 = 0 THEN 1 END) AS BIGINT) AS n_even
     FROM parsed GROUP BY event_type
     """,
 )
@@ -349,7 +349,10 @@ def evt_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").alias("sum_k"),
             F.min("k").alias("min_k"),
             F.max("k").alias("max_k"),
-            F.sum((F.col("k") % 2 == 0).cast("long")).alias("n_even"),
+            # when-without-otherwise: NULL for odd/unparsed k, so a group
+            # with no even k sums to NULL in BOTH engines (no NULL-vs-0
+            # divergence on degenerate groups)
+            F.sum(F.when(F.col("k") % 2 == 0, 1).cast("long")).alias("n_even"),
         )
     )
 
@@ -852,6 +855,11 @@ def _shared_log(sf_dir: str, ddl: bool = False) -> str:
     except OSError:
         pass
     if not done:
+        import shutil
+
+        # clear first: a spec change that REDUCES the epoch-file count must
+        # not leave stale files behind for the '*.parquet' globs
+        shutil.rmtree(out, ignore_errors=True)
         write_change_log(generate_change_log(spec), out)
         with open(marker, "w") as f:
             f.write(tag)

@@ -133,9 +133,12 @@ class CdcEngine:
         join-back.  ``True`` pins a broadcast (safe when micro-batches are
         backpressure-bounded), ``False`` forces the shuffle plan where
         Spark's runtime bloom filter prunes the probe scan (session.py
-        enables it), ``None`` (default) decides per batch: broadcast only
-        when the batch's event count — an upper bound on winners — is
-        known and ≤ ``broadcast_winner_limit``.  Unbounded replays of
+        enables it), ``None`` (default) decides per batch from the
+        ``n_events_hint`` upper bound on winners: a hint ≤
+        ``broadcast_winner_limit`` broadcasts; a larger (or unknown-size,
+        passed as an over-limit sentinel by ``run_batch_replay``) hint
+        takes the bloom path; NO hint means a backpressure-bounded
+        streaming micro-batch, which broadcasts.  Unbounded replays of
         10^7+ distinct keys would otherwise OOM the driver broadcasting
         the winner key-set.
 
@@ -210,7 +213,11 @@ class CdcEngine:
         #     must match its chain predecessor (in-batch event or current
         #     table row).  A divergence is surfaced as an error, never
         #     silently applied.  Costs one extra keyed pass — audit mode.
-        if self.audit_before_images and "before_payload" in df.columns:
+        if (
+            self.audit_before_images
+            and "before_payload" in df.columns
+            and "payload" in df.columns  # audit compares payload chains
+        ):
             from binlake_spark.operators.audit import (
                 BeforeImageMismatch,
                 find_before_image_violations,
@@ -452,10 +459,14 @@ class CdcEngine:
         if from_ts is not None:
             df = df.filter(F.col("ts") >= F.lit(from_ts).cast("timestamp"))
         stats = _source_footer_stats(source_dir)
+        # unreadable footers on an UNBOUNDED input must not pin the
+        # broadcast (hint=None means "stream-bounded" to apply_batch) —
+        # treat unknown size as over-limit so the bloom/AQE path is used
+        n_events = stats[0] if stats else 1 << 62
         return self.apply_batch(
             df,
             epoch_id=self.table.last_epoch(self.stream_id) + 1,
-            n_events_hint=stats[0] if stats else None,
+            n_events_hint=n_events,
         )
 
     def assert_source_covers_table(self, source_dir: str) -> None:
@@ -467,8 +478,8 @@ class CdcEngine:
         (GTIDTracker.java:30-51); GTID-form containment is
         :func:`binlake_spark.operators.gtid.assert_position_covered`."""
         stats = _source_footer_stats(source_dir)
-        if stats is None:
-            return
+        if stats is None or stats[1] < 0:
+            return  # no files or no seq statistics — cannot verify
         wms = self.table.snapshot()["watermarks"]
         if not wms:
             return

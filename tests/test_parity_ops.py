@@ -213,3 +213,23 @@ def test_gtid_position_containment_assert(spark):
         assert_position_covered(log, GTIDSet.parse("u1:9-12"))
     with pytest.raises(PositionNotInLog):
         assert_position_covered(log, GTIDSet.parse("u3:1"))
+
+
+def test_extract_added_columns_ignores_index_clauses():
+    """ADD INDEX/KEY/UNIQUE/CONSTRAINT clauses are not column definitions
+    — only real ADD COLUMN specs survive (add-column-only rule)."""
+    from binlake_spark.operators.ddl import extract_added_columns
+
+    assert extract_added_columns("ALTER TABLE docs ADD INDEX idx_lang (lang)") == []
+    assert extract_added_columns("ALTER TABLE docs ADD UNIQUE KEY uq (a, b)") == []
+    assert extract_added_columns(
+        "ALTER TABLE docs ADD CONSTRAINT fk FOREIGN KEY (x) REFERENCES t(y)"
+    ) == []
+    assert extract_added_columns(
+        "ALTER TABLE docs ADD COLUMN lang varchar(8), ADD INDEX il (lang),"
+        " ADD quality double"
+    ) == [("lang", "string"), ("quality", "double")]
+    # a column literally named `index` is still a column when quoted
+    assert extract_added_columns("ALTER TABLE docs ADD COLUMN `index` int") == [
+        ("index", "int")
+    ]

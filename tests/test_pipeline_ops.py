@@ -176,11 +176,19 @@ def test_ann_lsh_multiprobe_improves_recall(emb):
     from binlake_spark.operators.similarity import ann_lsh, cosine_topk
 
     exact = [r.vec_id for r in cosine_topk(emb, query_id=1, k=10).collect()]
+    # candidate-set subset property needs an un-truncated k (top-k of a
+    # superset may legitimately drop single-probe members)
+    cand = {}
+    for p in (1, 4):
+        cand[p] = {r.vec_id for r in
+                   ann_lsh(emb, query_id=1, dim=64, k=10_000, bits=4,
+                           probes=p).collect()}
+    assert cand[1] <= cand[4], "multiprobe must only ADD candidates"
+    assert len(cand[4]) > len(cand[1])  # and the extra probes found some
     got = {}
     for p in (1, 4):
         got[p] = {r.vec_id for r in
                   ann_lsh(emb, query_id=1, dim=64, k=10, bits=4, probes=p).collect()}
-    assert got[1] <= got[4] | got[1]  # multiprobe only adds candidates
     r1 = len(got[1] & set(exact)) / 10
     r4 = len(got[4] & set(exact)) / 10
     assert r4 >= r1
