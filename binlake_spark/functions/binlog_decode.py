@@ -635,6 +635,15 @@ def _col_width(spec: ColumnSpec, buf: bytes, pos: int) -> tuple[int, int]:
     k = spec.kind
     if k in _FIXED_WIDTH:
         return pos, pos + _FIXED_WIDTH[k]
+    if k == "year":
+        return pos, pos + 1
+    if k == "enum":
+        return pos, pos + (spec.meta[0] if spec.meta else 1)
+    if k == "set":
+        return pos, pos + (spec.meta[0] if spec.meta else 1)
+    if k == "bit":
+        bits = spec.meta[0] if spec.meta else 1
+        return pos, pos + (bits + 7) // 8
     if k == "newdecimal":
         p, s = spec.meta
         return pos, pos + newdecimal_bin_size(p, s)
@@ -722,6 +731,12 @@ def decode_row_images(df, image_col: str, specs: list[ColumnSpec]):
             return T.StringType()
         if k == "blob":
             return T.BinaryType()
+        if k == "year":
+            return T.ShortType()
+        if k == "enum":
+            return T.IntegerType()
+        if k in ("set", "bit"):
+            return T.LongType()
         raise ValueError(k)
 
     fields = [f for f in df.schema.fields if f.name != image_col]
@@ -762,6 +777,18 @@ def decode_row_images(df, image_col: str, specs: list[ColumnSpec]):
             vals = decode_jsonb(raw)
         elif k == "blob":
             vals = raw
+        elif k == "year":
+            # 1 byte, offset 1900; wire 0 means year 0000
+            vals = [0 if c[0] == 0 else 1900 + c[0] for c in raw]
+        elif k == "enum":
+            w = spec.meta[0] if spec.meta else 1
+            vals = [int(v) for v in decode_int_le(raw, w, signed=False)]
+        elif k == "set":
+            w = spec.meta[0] if spec.meta else 1
+            vals = [int(v) for v in decode_int_le(raw, w, signed=False)]
+        elif k == "bit":
+            # BIT is stored BIG-endian in the row image (unlike integers)
+            vals = [int.from_bytes(c, "big") for c in raw]
         else:
             raise ValueError(k)
         full = [None] * len(cells)
@@ -778,7 +805,8 @@ def decode_row_images(df, image_col: str, specs: list[ColumnSpec]):
             "uint64": pa.decimal128(20, 0),
             "float": pa.float32(), "double": pa.float64(),
             "date": pa.date32(), "varchar": pa.string(), "jsonb": pa.string(),
-            "blob": pa.binary(),
+            "blob": pa.binary(), "year": pa.int16(), "enum": pa.int32(),
+            "set": pa.int64(), "bit": pa.int64(),
         }.get(k) or (
             pa.decimal128(*spec.meta) if k == "newdecimal"
             else pa.duration("us") if k == "time2"
@@ -849,6 +877,14 @@ def encode_row_images(rows: list[dict], specs: list[ColumnSpec]) -> list[bytes]:
                 raw = v if isinstance(v, bytes) else encode_jsonb([v])[0]
                 lb = spec.meta[0] if spec.meta else 2
                 body += len(raw).to_bytes(lb, "little") + raw
+            elif k == "year":
+                body += bytes([0 if v == 0 else int(v) - 1900])
+            elif k in ("enum", "set"):
+                w = spec.meta[0] if spec.meta else 1
+                body += int(v).to_bytes(w, "little")
+            elif k == "bit":
+                bits = spec.meta[0] if spec.meta else 1
+                body += int(v).to_bytes((bits + 7) // 8, "big")
             else:
                 raise ValueError(k)
         out.append(bytes(bitmap) + bytes(body))

@@ -340,3 +340,41 @@ if HAVE_HYPOTHESIS:
         )
         [d] = decode_datetime2(encode_datetime2([t], 6), 6)
         assert pd.Timestamp(d) == t
+
+
+def test_row_image_year_enum_set_bit(spark):
+    """The remaining fetchValue kinds: YEAR (1 byte, 1900 offset), ENUM
+    (1/2-byte ordinal), SET (bitmask), BIT (big-endian, 1-64 bits)."""
+    import pandas as pd
+
+    from binlake_spark.functions.binlog_decode import (
+        ColumnSpec,
+        decode_row_images,
+        encode_row_images,
+    )
+
+    specs = [
+        ColumnSpec("uid", "int32"),
+        ColumnSpec("y", "year"),
+        ColumnSpec("e1", "enum", (1,)),
+        ColumnSpec("e2", "enum", (2,)),
+        ColumnSpec("s", "set", (8,)),
+        ColumnSpec("b", "bit", (48,)),
+    ]
+    rows = [
+        {"uid": 0, "y": 2024, "e1": 3, "e2": 300, "s": (1 << 63) - 1, "b": 0},
+        {"uid": 1, "y": 0, "e1": 255, "e2": 65535, "s": 0b1010, "b": (1 << 48) - 1},
+        {"uid": 2, "y": None, "e1": None, "e2": None, "s": None, "b": None},
+    ]
+    imgs = encode_row_images(rows, specs)
+    pdf = pd.DataFrame({"row_image": imgs})
+    out = decode_row_images(spark.createDataFrame(pdf), "row_image", specs)
+    got = {r.uid: r for r in out.collect()}
+    assert (got[0].y, got[0].e1, got[0].e2, got[0].s, got[0].b) == (
+        2024, 3, 300, (1 << 63) - 1, 0
+    )
+    assert (got[1].y, got[1].e1, got[1].e2, got[1].s, got[1].b) == (
+        0, 255, 65535, 0b1010, (1 << 48) - 1
+    )
+    r2 = got[2]
+    assert all(getattr(r2, c) is None for c in ("y", "e1", "e2", "s", "b"))
