@@ -31,6 +31,20 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # the measured sweet spot (142.8k).  An explicit $SPARK_GRAFT_CPUS or
 # $BINLAKE_BENCH_CPUS is always honored.
 CPUS = int(os.environ.get("BINLAKE_BENCH_CPUS", os.environ.get("SPARK_GRAFT_CPUS", "16")))
+# the VM's neighbor load makes single runs swing 2-3x on identical input
+# (BENCH.md noise log) — every timed thing runs REPS times, best kept, and
+# a fixed single-thread CPU probe before/after the suite marks whether the
+# window was quiet (probe ~1 s quiet; >1.5x the best-known value = noisy)
+QUERY_REPS = int(os.environ.get("BINLAKE_BENCH_QUERY_REPS", "2"))
+CDC_REPS = int(os.environ.get("BINLAKE_BENCH_CDC_REPS", "2"))
+
+
+def cpu_probe() -> float:
+    t0 = time.monotonic()
+    acc = 0
+    for i in range(12_000_000):
+        acc += i * i
+    return round(time.monotonic() - t0, 3)
 
 HEADLINE = [
     "cdc_lww_state",
@@ -142,24 +156,36 @@ def run_cdc_replay(spark, sf: float, work: str, epochs: int = 4) -> dict:
     # bucket count models the TABLE layout, not the local core count — it
     # must be identical across cluster sizes for a fair scaling comparison
     num_buckets = int(os.environ.get("BINLAKE_BENCH_BUCKETS", "32"))
-    table = CdcEngine.create_table(os.path.join(work, "docs"), num_buckets=num_buckets)
-    # salt off: max_by's map-side partial aggregation absorbs the generated
-    # hot-key skew; the salted two-stage path is covered by tests and kept
-    # for adversarial skew (see CdcEngine docstring)
     mode = os.environ.get("BINLAKE_BENCH_ENGINE_MODE", "cow")
-    engine = CdcEngine(table, salt=None, mode=mode)
-    t0 = time.monotonic()
-    engine.run_stream(
-        spark, src, os.path.join(work, "ckpt"), max_files_per_trigger=2
-    )
-    wall = time.monotonic() - t0
-    return {
-        "events": total,
-        "wall_sec": round(wall, 3),
-        "events_per_sec": round(total / wall, 1),
-        "epochs": int(table.last_epoch("cdc")) + 1,
-        "final_rows": table.read(spark).count(),
-    }
+    # best-of-CDC_REPS: one rep can catch a neighbor-load burst (documented
+    # 2-3x same-input swings); each rep replays into a fresh table + ckpt
+    best = None
+    walls = []
+    for rep in range(max(1, CDC_REPS)):
+        rdir = os.path.join(work, f"rep{rep}")
+        table = CdcEngine.create_table(
+            os.path.join(rdir, "docs"), num_buckets=num_buckets
+        )
+        # salt off: max_by's map-side partial aggregation absorbs the
+        # generated hot-key skew; the salted two-stage path is covered by
+        # tests and kept for adversarial skew (see CdcEngine docstring)
+        engine = CdcEngine(table, salt=None, mode=mode)
+        t0 = time.monotonic()
+        engine.run_stream(
+            spark, src, os.path.join(rdir, "ckpt"), max_files_per_trigger=2
+        )
+        wall = time.monotonic() - t0
+        walls.append(round(wall, 3))
+        if best is None or wall < best["wall_sec"]:
+            best = {
+                "events": total,
+                "wall_sec": round(wall, 3),
+                "events_per_sec": round(total / wall, 1),
+                "epochs": int(table.last_epoch("cdc")) + 1,
+                "final_rows": table.read(spark).count(),
+            }
+    best["rep_walls"] = walls
+    return best
 
 
 def main() -> int:
@@ -171,6 +197,7 @@ def main() -> int:
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
 
     work = tempfile.mkdtemp(prefix="binlake_bench_")
+    probe_before = cpu_probe()
     try:
         cdc = run_cdc_replay(spark, sf, work)
 
@@ -178,10 +205,17 @@ def main() -> int:
         headline = [] if os.environ.get("BINLAKE_BENCH_MODE") == "cdc" else HEADLINE
         for name in headline:
             fn = QUERIES[name]
-            t0 = time.monotonic()
-            fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
-            queries[name] = round(time.monotonic() - t0, 3)
+            # best-of-QUERY_REPS per query: a single rep is uninterpretable
+            # under this VM's neighbor-load bursts (round-2 verdict item #2)
+            best_q = None
+            for _ in range(max(1, QUERY_REPS)):
+                t0 = time.monotonic()
+                fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+                dt = time.monotonic() - t0
+                best_q = dt if best_q is None else min(best_q, dt)
+            queries[name] = round(best_q, 3)
 
+        probe_after = cpu_probe()
         total = round(sum(queries.values()) + cdc["wall_sec"], 3)
         print(
             json.dumps(
@@ -193,6 +227,12 @@ def main() -> int:
                     "sf": sf,
                     "cdc": cdc,
                     "cpus": CPUS,
+                    "query_reps": QUERY_REPS,
+                    "cdc_reps": CDC_REPS,
+                    # noise marker: single-thread fixed CPU work, ~1.0-1.2 s
+                    # on this VM when quiet; >1.5x that = neighbor load was
+                    # present and wall times above are inflated
+                    "probe_sec": {"before": probe_before, "after": probe_after},
                 }
             )
         )
