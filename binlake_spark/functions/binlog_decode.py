@@ -33,8 +33,21 @@ DATETIME2(fsp): 5 bytes BE = 0x8000000000 + (((year*13+month) << 22) |
   (day << 17) | (hour << 12) | (minute << 6) | second), then
   (fsp+1)//2 bytes BE of fractional seconds in units of 10^(2*fb-6)^-1.
 TIMESTAMP2(fsp): 4 bytes BE epoch seconds + the same fractional tail.
-TIME2(fsp): 3 bytes BE = 0x800000 + ((hour << 12) | (minute << 6) |
-  second) for non-negative times, + fractional tail.
+TIME2(fsp): 3 bytes BE of 0x800000 + intpart where the *signed* packed
+  value is ±((hour << 12 | minute << 6 | second) << 24 | microseconds)
+  (my_time.c TIME_to_longlong_time_packed); negative times (MySQL TIME
+  ranges to -838:59:59) store floor-shifted intpart and a two's-complement
+  fractional tail — decode reverses with the intpart++ / frac -= 2^(8·fb)
+  rule (the reference's RowsLogBuffer.java TIME2 case :562-692).
+Pre-5.6 v0 formats (the reference decodes both generations —
+  RowsLogBuffer.java:402-465 TIMESTAMP, :466-560 DATETIME, :562+ TIME):
+  TIMESTAMP = 4 bytes LE epoch seconds; DATETIME = 8 bytes LE of the
+  decimal-packed integer YYYYMMDDHHMMSS; TIME = 3 bytes LE signed
+  int24 of HHMMSS (sign carries negative times).
+Zero dates: MySQL binlogs legitimately carry 0000-00-00 (packed 0, or
+  month/day 0); all date/datetime decoders yield NaT/NULL for them (the
+  reference emits the "0000-00-00" literal; NULL is the lake-typed
+  equivalent).
 """
 
 from __future__ import annotations
@@ -199,14 +212,21 @@ def decode_datetime2(bufs, fsp: int = 6) -> np.ndarray:
     minute = (hms >> 6) & 0x3F
     second = hms & 0x3F
     micros = _frac_micros(m, 5, fsp)
+    # zero dates (0000-00-00[ 00:00:00], or month/day 0) → NaT, not a
+    # bogus shifted date (the reference emits the zero literal)
+    zero = (month == 0) | (day == 0)
+    month = np.where(zero, 1, month)
+    day = np.where(zero, 1, day)
     # vectorized calendar → datetime64: months since 1970-01, then days
     months = (year - 1970) * 12 + (month - 1)
     base = (np.datetime64("1970-01", "M") + months).astype("datetime64[D]") + (
         day - 1
     )
-    return base.astype("datetime64[us]") + (
+    out = base.astype("datetime64[us]") + (
         hour * 3_600_000_000 + minute * 60_000_000 + second * 1_000_000 + micros
     ).astype("timedelta64[us]")
+    out[zero] = np.datetime64("NaT")
+    return out
 
 
 def encode_timestamp2(timestamps, fsp: int = 6) -> list[bytes]:
@@ -240,40 +260,192 @@ def decode_timestamp2(bufs, fsp: int = 6) -> np.ndarray:
 
 
 def encode_time2(deltas, fsp: int = 6) -> list[bytes]:
-    """timedelta-like (non-negative, < 839 h) → TIME2 wire bytes."""
+    """timedelta-like (±838:59:59.999999) → TIME2 wire bytes, following
+    my_time.c my_time_packed_to_binary: the signed packed value is
+    nr = ±((h<<12|mi<<6|s) << 24 | micros); storage is
+    fb∈{0,1,2}: int3be(0x800000 + (nr >> 24)) + two's-complement frac
+    tail of (trunc-mod frac)/10^(6-2·fb); fb=3: int6be(nr + 2^47)."""
     import pandas as pd
 
     fb = _frac_bytes(fsp)
     out = []
     for d in deltas:
         d = pd.Timedelta(d)
-        total = int(d.value // 1_000)  # us
-        secs, micros = divmod(total, 1_000_000)
+        total = int(d.value // 1_000)  # us (sign preserved)
+        neg = total < 0
+        secs, micros = divmod(abs(total), 1_000_000)
         h, rem = divmod(secs, 3600)
         mi, s = divmod(rem, 60)
-        packed = 0x800000 + ((h << 12) | (mi << 6) | s)
-        buf = packed.to_bytes(3, "big")
+        hms = (h << 12) | (mi << 6) | s
+        nr = -((hms << 24) | micros) if neg else ((hms << 24) | micros)
+        if fb == 3:
+            out.append((nr + 0x800000000000).to_bytes(6, "big"))
+            continue
+        unit = 10 ** (6 - 2 * fb)
+        sf = micros // unit  # scaled |frac|
+        # C trunc semantics: intpart = nr >> 24 (arithmetic/floor shift),
+        # frac = nr % 2^24 truncated toward zero then scaled
+        if neg and sf > 0:
+            int_store = 0x800000 - hms - 1
+            frac_store = (1 << (8 * fb)) - sf
+        else:
+            int_store = 0x800000 + (-hms if neg else hms)
+            frac_store = sf
+        buf = int_store.to_bytes(3, "big")
         if fb:
-            buf += int(micros // (10 ** (6 - 2 * fb))).to_bytes(fb, "big")
+            buf += int(frac_store).to_bytes(fb, "big")
         out.append(buf)
     return out
 
 
 def decode_time2(bufs, fsp: int = 6) -> np.ndarray:
+    """Sign-aware TIME2 decode (the reference's RowsLogBuffer TIME2 case
+    :562-692 incl. the negative intpart++ / frac -= 2^(8·fb) rule)."""
     fb = _frac_bytes(fsp)
     width = 3 + fb
     n = len(bufs)
     if n == 0:
         return np.array([], dtype="timedelta64[us]")
     m = np.frombuffer(b"".join(bufs), dtype=np.uint8).reshape(n, width)
-    packed = _read_be(m, 0, 3) - 0x800000
-    h = (packed >> 12) & 0x3FF
-    mi = (packed >> 6) & 0x3F
-    s = packed & 0x3F
-    micros = _frac_micros(m, 3, fsp)
+    if fb == 3:
+        nr = _read_be(m, 0, 6) - 0x800000000000
+        sign = np.where(nr < 0, -1, 1)
+        a = np.abs(nr)
+        hms = a >> 24
+        micros = a & 0xFFFFFF
+    else:
+        intpart = _read_be(m, 0, 3) - 0x800000
+        frac = (
+            _read_be(m, 3, 3 + fb) if fb else np.zeros(n, dtype=np.int64)
+        )
+        # negative wires store floor-shifted intpart + two's-complement
+        # frac: reverse with intpart++ / frac -= 2^(8·fb)
+        adj = (intpart < 0) & (frac > 0)
+        intpart = np.where(adj, intpart + 1, intpart)
+        frac = np.where(adj, frac - (1 << (8 * fb)), frac)
+        sign = np.where(intpart < 0, -1, np.where((intpart == 0) & (frac < 0), -1, 1))
+        hms = np.abs(intpart)
+        micros = np.abs(frac) * 10 ** (6 - 2 * fb) if fb else frac
+    h = (hms >> 12) & 0x3FF
+    mi = (hms >> 6) & 0x3F
+    s = hms & 0x3F
     return (
-        h * 3_600_000_000 + mi * 60_000_000 + s * 1_000_000 + micros
+        sign * (h * 3_600_000_000 + mi * 60_000_000 + s * 1_000_000 + micros)
     ).astype("timedelta64[us]")
+
+
+# --------------------------------------------------------------------- #
+# pre-5.6 (v0) temporal wire formats — the reference decodes both format
+# generations (RowsLogBuffer.java: TIMESTAMP :402-465, DATETIME :466-560,
+# TIME :562-692); any binlog written by MySQL < 5.6.4, or a 5.6+ server
+# with old-format columns, carries these.
+# --------------------------------------------------------------------- #
+def encode_timestamp_v0(timestamps) -> list[bytes]:
+    """v0 TIMESTAMP: 4 bytes LE epoch seconds."""
+    import pandas as pd
+
+    return [
+        int(pd.Timestamp(t).value // 1_000_000_000).to_bytes(4, "little")
+        for t in timestamps
+    ]
+
+
+def decode_timestamp_v0(bufs) -> np.ndarray:
+    n = len(bufs)
+    if n == 0:
+        return np.array([], dtype="datetime64[us]")
+    m = np.frombuffer(b"".join(bufs), dtype=np.uint8).reshape(n, 4)
+    secs = (
+        m[:, 0].astype(np.int64)
+        | (m[:, 1].astype(np.int64) << 8)
+        | (m[:, 2].astype(np.int64) << 16)
+        | (m[:, 3].astype(np.int64) << 24)
+    )
+    return (secs * 1_000_000).astype("timedelta64[us]") + np.datetime64(
+        "1970-01-01", "us"
+    )
+
+
+def encode_datetime_v0(timestamps) -> list[bytes]:
+    """v0 DATETIME: 8 bytes LE of the decimal-packed int YYYYMMDDHHMMSS."""
+    import pandas as pd
+
+    out = []
+    for t in timestamps:
+        t = pd.Timestamp(t)
+        packed = (t.year * 10_000 + t.month * 100 + t.day) * 1_000_000 + (
+            t.hour * 10_000 + t.minute * 100 + t.second
+        )
+        out.append(int(packed).to_bytes(8, "little"))
+    return out
+
+
+def decode_datetime_v0(bufs) -> np.ndarray:
+    """v0 DATETIME decode; zero dates (packed 0 / month 0 / day 0) → NaT."""
+    n = len(bufs)
+    if n == 0:
+        return np.array([], dtype="datetime64[us]")
+    m = np.frombuffer(b"".join(bufs), dtype=np.uint8).reshape(n, 8)
+    packed = np.zeros(n, dtype=np.int64)
+    for k in range(7, -1, -1):
+        packed = (packed << 8) | m[:, k].astype(np.int64)
+    date = packed // 1_000_000
+    t = packed % 1_000_000
+    year = date // 10_000
+    month = (date // 100) % 100
+    day = date % 100
+    hour = t // 10_000
+    minute = (t // 100) % 100
+    second = t % 100
+    zero = (month == 0) | (day == 0)
+    month = np.where(zero, 1, month)
+    day = np.where(zero, 1, day)
+    months = (year - 1970) * 12 + (month - 1)
+    base = (np.datetime64("1970-01", "M") + months).astype("datetime64[D]") + (
+        day - 1
+    )
+    out = base.astype("datetime64[us]") + (
+        hour * 3_600_000_000 + minute * 60_000_000 + second * 1_000_000
+    ).astype("timedelta64[us]")
+    out[zero] = np.datetime64("NaT")
+    return out
+
+
+def encode_time_v0(deltas) -> list[bytes]:
+    """v0 TIME: 3 bytes LE signed int24 of ±(h·10000 + mi·100 + s)."""
+    import pandas as pd
+
+    out = []
+    for d in deltas:
+        d = pd.Timedelta(d)
+        total = int(d.value // 1_000_000_000)  # whole seconds, signed
+        neg = total < 0
+        h, rem = divmod(abs(total), 3600)
+        mi, s = divmod(rem, 60)
+        packed = h * 10_000 + mi * 100 + s
+        if neg:
+            packed = -packed
+        out.append((packed & 0xFFFFFF).to_bytes(3, "little"))
+    return out
+
+
+def decode_time_v0(bufs) -> np.ndarray:
+    n = len(bufs)
+    if n == 0:
+        return np.array([], dtype="timedelta64[us]")
+    m = np.frombuffer(b"".join(bufs), dtype=np.uint8).reshape(n, 3)
+    packed = (
+        m[:, 0].astype(np.int64)
+        | (m[:, 1].astype(np.int64) << 8)
+        | (m[:, 2].astype(np.int64) << 16)
+    )
+    packed = np.where(packed & 0x800000, packed - 0x1000000, packed)  # signed
+    sign = np.where(packed < 0, -1, 1)
+    a = np.abs(packed)
+    h = a // 10_000
+    mi = (a // 100) % 100
+    s = a % 100
+    return (sign * (h * 3600 + mi * 60 + s) * 1_000_000).astype("timedelta64[us]")
 
 
 # --------------------------------------------------------------------- #
@@ -285,56 +457,91 @@ def decode_wire_columns(df, specs: dict):
     JVM↔Python boundary once, whatever the number of columns).
 
     ``specs``: {col: ("newdecimal", P, S) | ("datetime2", fsp) |
-    ("timestamp2", fsp) | ("time2", fsp)}.  The binary column is replaced
-    by a typed column of the same name (decimal128(P,S) / timestamp_ntz /
-    duration).
+    ("timestamp2", fsp) | ("time2", fsp) | ("time2_us", fsp) | ("jsonb",) |
+    ("datetime_v0",) | ("timestamp_v0",) | ("time_v0",) | ("time_v0_us",) |
+    ("date",)}.  ``time2_us``/``time_v0_us``
+    decode TIME to signed total microseconds as BIGINT (the portable
+    lake representation — interval↔numeric casts are not portable across
+    engines, raw micros are).  The binary
+    column is replaced by a typed column of the same name (decimal128(P,S)
+    / timestamp_ntz / duration / string).  NULL cells propagate: the
+    non-null subset is decoded vectorized and nulls are reinserted
+    (reference: nextOneRow's null-bitmap skip, RowsLogBuffer.java:55-69).
     """
     import pyarrow as pa
     from pyspark.sql import types as T
 
-    fields = []
-    for f in df.schema.fields:
-        if f.name in specs:
-            kind = specs[f.name][0]
-            if kind == "newdecimal":
-                _, p, s = specs[f.name]
-                fields.append(T.StructField(f.name, T.DecimalType(p, s), True))
-            elif kind in ("datetime2", "timestamp2"):
-                fields.append(T.StructField(f.name, T.TimestampNTZType(), True))
-            elif kind == "time2":
-                fields.append(T.StructField(f.name, T.DayTimeIntervalType(), True))
-            elif kind == "jsonb":
-                fields.append(T.StructField(f.name, T.StringType(), True))
-            else:
-                raise ValueError(f"unknown wire type {kind!r}")
-        else:
-            fields.append(f)
-    out_schema = T.StructType(fields)
+    def spark_type(spec):
+        kind = spec[0]
+        if kind == "newdecimal":
+            return T.DecimalType(spec[1], spec[2])
+        if kind in ("datetime2", "timestamp2", "datetime_v0", "timestamp_v0"):
+            return T.TimestampNTZType()
+        if kind in ("time2", "time_v0"):
+            return T.DayTimeIntervalType()
+        if kind in ("time2_us", "time_v0_us"):
+            return T.LongType()
+        if kind == "date":
+            return T.DateType()
+        if kind == "jsonb":
+            return T.StringType()
+        raise ValueError(f"unknown wire type {kind!r}")
+
+    out_schema = T.StructType(
+        [
+            T.StructField(f.name, spark_type(specs[f.name]), True)
+            if f.name in specs
+            else f
+            for f in df.schema.fields
+        ]
+    )
+
+    def decode_nonnull(spec, raw):
+        kind = spec[0]
+        if kind == "newdecimal":
+            return decode_newdecimal(raw, spec[1], spec[2]), pa.decimal128(
+                spec[1], spec[2]
+            )
+        if kind == "datetime2":
+            return decode_datetime2(raw, spec[1]), pa.timestamp("us")
+        if kind == "timestamp2":
+            return decode_timestamp2(raw, spec[1]), pa.timestamp("us")
+        if kind == "time2":
+            return decode_time2(raw, spec[1]), pa.duration("us")
+        if kind == "time2_us":
+            return decode_time2(raw, spec[1]).astype(np.int64), pa.int64()
+        if kind == "datetime_v0":
+            return decode_datetime_v0(raw), pa.timestamp("us")
+        if kind == "timestamp_v0":
+            return decode_timestamp_v0(raw), pa.timestamp("us")
+        if kind == "time_v0":
+            return decode_time_v0(raw), pa.duration("us")
+        if kind == "time_v0_us":
+            return decode_time_v0(raw).astype(np.int64), pa.int64()
+        if kind == "date":
+            d = decode_date(raw)
+            # datetime64[D] scalars don't auto-convert to arrow date32;
+            # go through datetime.date (NaT → null)
+            return [
+                None if np.isnat(v) else v.astype(object) for v in d
+            ], pa.date32()
+        if kind == "jsonb":
+            return decode_jsonb(raw), pa.string()
+        raise ValueError(f"unknown wire type {kind!r}")
 
     def fn(batches):
         for b in batches:
             cols = []
             for name, col in zip(b.schema.names, b.columns):
                 if name in specs:
-                    spec = specs[name]
-                    raw = [
-                        v.as_py() for v in col
-                    ]  # fixed-width binaries; nulls unsupported by design
-                    if spec[0] == "newdecimal":
-                        _, p, s = spec
-                        vals = decode_newdecimal(raw, p, s)
-                        cols.append(pa.array(vals, type=pa.decimal128(p, s)))
-                    elif spec[0] == "datetime2":
-                        vals = decode_datetime2(raw, spec[1])
-                        cols.append(pa.array(vals, type=pa.timestamp("us")))
-                    elif spec[0] == "timestamp2":
-                        vals = decode_timestamp2(raw, spec[1])
-                        cols.append(pa.array(vals, type=pa.timestamp("us")))
-                    elif spec[0] == "time2":
-                        vals = decode_time2(raw, spec[1])
-                        cols.append(pa.array(vals, type=pa.duration("us")))
-                    elif spec[0] == "jsonb":
-                        cols.append(pa.array(decode_jsonb(raw), type=pa.string()))
+                    cells = [v.as_py() for v in col]
+                    idx = [i for i, c in enumerate(cells) if c is not None]
+                    raw = [cells[i] for i in idx]
+                    vals, typ = decode_nonnull(specs[name], raw)
+                    full = [None] * len(cells)
+                    for i, v in zip(idx, list(vals)):
+                        full[i] = v
+                    cols.append(pa.array(full, type=typ))
                 else:
                     cols.append(col)
             yield pa.RecordBatch.from_arrays(cols, schema=pa.schema(
@@ -568,10 +775,16 @@ def decode_date(bufs) -> np.ndarray:
     year = packed >> 9
     month = (packed >> 5) & 0x0F
     day = packed & 0x1F
+    # zero dates (0000-00-00, month/day 0) → NaT (reference: "0000-00-00")
+    zero = (month == 0) | (day == 0)
+    month = np.where(zero, 1, month)
+    day = np.where(zero, 1, day)
     months = (year - 1970) * 12 + (month - 1)
-    return (np.datetime64("1970-01", "M") + months).astype("datetime64[D]") + (
+    out = (np.datetime64("1970-01", "M") + months).astype("datetime64[D]") + (
         day - 1
     )
+    out[zero] = np.datetime64("NaT")
+    return out
 
 
 def decode_int_le(bufs, width: int, signed: bool = True) -> np.ndarray:
@@ -613,14 +826,53 @@ from dataclasses import dataclass as _dataclass
 
 @_dataclass(frozen=True)
 class ColumnSpec:
-    """One column of the table map: name + wire type + type metadata."""
+    """One column of the table map: name + wire type + type metadata.
+
+    ``varchar`` meta is the column's **max BYTE length from the table
+    map** (pack_length), NOT the character count: a utf8mb4 VARCHAR(100)
+    has meta 400, and the 1-vs-2-byte length-prefix threshold is byte
+    length — passing character length would mis-walk every subsequent
+    column in the row image.
+
+    ``char`` (MYSQL_TYPE_STRING) meta is the **raw 2-byte table-map meta
+    int**: for byte lengths > 255 the real type and length hide inside
+    the meta bytes (MySQL bug #37426 encoding; the reference's fetchValue
+    special case, RowsLogBuffer.java:252-268) — see :func:`char_meta`.
+    """
 
     name: str
     kind: str          # int8|uint8|int16|uint16|int24|int32|int64|uint64|
                        # float|double|newdecimal|date|datetime2|timestamp2|
-                       # time2|varchar|blob|jsonb
-    meta: tuple = ()   # newdecimal: (P, S); temporal: (fsp,);
-                       # varchar: (max_len,); blob: (len_bytes,)
+                       # time2|datetime_v0|timestamp_v0|time_v0|varchar|
+                       # char|blob|jsonb|year|enum|set|bit
+    meta: tuple = ()   # newdecimal: (P, S); *2 temporal: (fsp,);
+                       # varchar: (max_BYTES,); char: (raw_meta,);
+                       # blob: (len_bytes,)
+
+
+def char_meta(meta: int) -> tuple[int, int]:
+    """(real_type_byte, max_byte_len) from a MYSQL_TYPE_STRING table-map
+    meta.  For meta >= 256 the upper meta byte carries the real type and
+    two extra length bits (MySQL bug #37426 layout): when
+    (byte0 & 0x30) != 0x30 the length is byte1 | (((byte0 & 0x30) ^ 0x30)
+    << 4) — up to 1023 bytes — and the type is byte0 | 0x30; otherwise
+    byte0 is the type (ENUM/SET/STRING) and byte1 the length.
+    Reference: RowsLogBuffer.java:252-268."""
+    if meta < 256:
+        return 0xFE, meta  # MYSQL_TYPE_STRING
+    byte0, byte1 = meta >> 8, meta & 0xFF
+    if (byte0 & 0x30) != 0x30:
+        return byte0 | 0x30, byte1 | (((byte0 & 0x30) ^ 0x30) << 4)
+    return byte0, byte1
+
+
+def encode_char_table_meta(max_len: int) -> int:
+    """Raw 2-byte table-map meta for a CHAR column of max_len bytes
+    (≤1023) — what MySQL writes: byte0 = 0xFE ^ ((len & 0x300) >> 4),
+    byte1 = len & 0xFF.  Test-vector side of :func:`char_meta`."""
+    if not 0 <= max_len <= 1023:
+        raise ValueError(f"CHAR byte length {max_len} out of range")
+    return ((0xFE ^ ((max_len & 0x300) >> 4)) << 8) | (max_len & 0xFF)
 
 
 _FIXED_WIDTH = {
@@ -655,8 +907,20 @@ def _col_width(spec: ColumnSpec, buf: bytes, pos: int) -> tuple[int, int]:
         return pos, pos + 4 + _frac_bytes(spec.meta[0])
     if k == "time2":
         return pos, pos + 3 + _frac_bytes(spec.meta[0])
+    if k == "datetime_v0":
+        return pos, pos + 8
+    if k == "timestamp_v0":
+        return pos, pos + 4
+    if k == "time_v0":
+        return pos, pos + 3
     if k == "varchar":
+        # meta[0] is max BYTES from the table map (see ColumnSpec doc)
         lb = 2 if spec.meta and spec.meta[0] > 255 else 1
+        ln = int.from_bytes(buf[pos : pos + lb], "little")
+        return pos + lb, pos + lb + ln
+    if k == "char":
+        _, max_len = char_meta(spec.meta[0] if spec.meta else 0)
+        lb = 2 if max_len > 255 else 1
         ln = int.from_bytes(buf[pos : pos + lb], "little")
         return pos + lb, pos + lb + ln
     if k in ("blob", "jsonb"):
@@ -721,11 +985,11 @@ def decode_row_images(df, image_col: str, specs: list[ColumnSpec]):
             return T.DecimalType(*spec.meta)
         if k == "date":
             return T.DateType()
-        if k in ("datetime2", "timestamp2"):
+        if k in ("datetime2", "timestamp2", "datetime_v0", "timestamp_v0"):
             return T.TimestampNTZType()
-        if k == "time2":
+        if k in ("time2", "time_v0"):
             return T.DayTimeIntervalType()
-        if k == "varchar":
+        if k in ("varchar", "char"):
             return T.StringType()
         if k == "jsonb":
             return T.StringType()
@@ -771,7 +1035,13 @@ def decode_row_images(df, image_col: str, specs: list[ColumnSpec]):
             vals = list(decode_timestamp2(raw, *spec.meta))
         elif k == "time2":
             vals = list(decode_time2(raw, *spec.meta))
-        elif k == "varchar":
+        elif k == "datetime_v0":
+            vals = list(decode_datetime_v0(raw))
+        elif k == "timestamp_v0":
+            vals = list(decode_timestamp_v0(raw))
+        elif k == "time_v0":
+            vals = list(decode_time_v0(raw))
+        elif k in ("varchar", "char"):
             vals = [c.decode("utf-8") for c in raw]
         elif k == "jsonb":
             vals = decode_jsonb(raw)
@@ -804,12 +1074,13 @@ def decode_row_images(df, image_col: str, specs: list[ColumnSpec]):
             "uint32": pa.int64(), "int64": pa.int64(),
             "uint64": pa.decimal128(20, 0),
             "float": pa.float32(), "double": pa.float64(),
-            "date": pa.date32(), "varchar": pa.string(), "jsonb": pa.string(),
+            "date": pa.date32(), "varchar": pa.string(), "char": pa.string(),
+            "jsonb": pa.string(),
             "blob": pa.binary(), "year": pa.int16(), "enum": pa.int32(),
             "set": pa.int64(), "bit": pa.int64(),
         }.get(k) or (
             pa.decimal128(*spec.meta) if k == "newdecimal"
-            else pa.duration("us") if k == "time2"
+            else pa.duration("us") if k in ("time2", "time_v0")
             else pa.timestamp("us")
         )
 
@@ -869,9 +1140,20 @@ def encode_row_images(rows: list[dict], specs: list[ColumnSpec]) -> list[bytes]:
                 body += encode_timestamp2([v], *spec.meta)[0]
             elif k == "time2":
                 body += encode_time2([v], *spec.meta)[0]
+            elif k == "datetime_v0":
+                body += encode_datetime_v0([v])[0]
+            elif k == "timestamp_v0":
+                body += encode_timestamp_v0([v])[0]
+            elif k == "time_v0":
+                body += encode_time_v0([v])[0]
             elif k == "varchar":
                 raw = v.encode("utf-8")
                 lb = 2 if spec.meta and spec.meta[0] > 255 else 1
+                body += len(raw).to_bytes(lb, "little") + raw
+            elif k == "char":
+                raw = v.encode("utf-8")
+                _, max_len = char_meta(spec.meta[0] if spec.meta else 0)
+                lb = 2 if max_len > 255 else 1
                 body += len(raw).to_bytes(lb, "little") + raw
             elif k in ("blob", "jsonb"):
                 raw = v if isinstance(v, bytes) else encode_jsonb([v])[0]

@@ -21,6 +21,7 @@ DuckDB can see too.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
@@ -758,49 +759,38 @@ def sim_topk_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------- #
-# Sketch/ANN operators — rows-only checks (not ANSI-SQL-expressible in a
-# way that is engine-exact; each is verified in pytest against an exact
-# in-engine baseline instead: tests/test_pipeline_ops.py)
+# Sketch/ANN production forms (JVM-hash MinHash/SimHash/LSH-ANN) are NOT
+# registered as driver queries: their hash family (Spark murmur3 /
+# xxhash64) is not reproducible in ANSI SQL, so a driver row for them
+# could only ever be an ambiguous rows-only check.  The driver-visible,
+# oracle-backed forms are the md5-permutation `*_exact` twins below
+# (dedup_minhash_lsh_exact / dedup_simhash_exact / sim_ann_lsh_exact) —
+# identical pipeline shape, portable hashes.  The JVM-hash operators
+# stay library-level (operators/dedup.py, operators/similarity.py),
+# pinned in pytest against the exact baselines
+# (tests/test_pipeline_ops.py).
 # --------------------------------------------------------------------- #
-@_register("dedup_minhash_lsh")
-def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs over the corpus ∪ shifted clones;
-    banding proposes candidates, exact Jaccard verifies (no false
-    positives by construction)."""
-    from binlake_spark.operators.dedup import minhash_lsh
-
-    return minhash_lsh(_clones(spark, sf_dir), threshold=0.9)
-
-
-@_register("dedup_simhash")
-def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from binlake_spark.operators.dedup import simhash_near_dups
-
-    return simhash_near_dups(_clones(spark, sf_dir), max_hamming=0)
-
-
-@_register("sim_ann_lsh")
-def sim_ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multiprobe LSH ANN: the query's own bucket plus its 3 lowest-margin
-    flipped buckets (recall knob without a full scan)."""
-    from binlake_spark.operators.similarity import ann_lsh
-
-    e = _t(spark, sf_dir, "embeddings")
-    return ann_lsh(e, query_id=0, dim=64, k=10, bits=4, probes=4)
-
-
-@_register("mm_features")
+@_register(
+    "mm_features",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'image' AS kind,
+           CAST(length(text) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
 def mm_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: binary payloads → Arrow-batched
-    feature extraction (deterministic fake decode; see operators/multimodal)."""
+    feature extraction (deterministic fake decode; see
+    operators/multimodal).  The listing (doc_id, kind, n_bytes) is
+    computed INSIDE the Arrow pass, so the oracle match proves the
+    mapInPandas plumbing ran over every payload; the feature-vector
+    content itself is hash-checked by `mm_features_exact`."""
     from binlake_spark.operators.multimodal import extract_features, make_media_table
 
     d = _t(spark, sf_dir, "documents").withColumn(
         "doc_id", F.col("doc_id").cast("string")
     )
-    return extract_features(make_media_table(spark, d)).drop("features").withColumn(
-        "n_bytes", F.col("n_bytes")
-    )
+    return extract_features(make_media_table(spark, d)).drop("features")
 
 
 # --------------------------------------------------------------------- #
@@ -833,6 +823,46 @@ _REPLAY_ORACLE_SQL = f"""
 """
 
 
+def _publish_fixture_dir(base_dir: str, sub: str, tag: str, build_fn) -> str:
+    """Publish a fixture directory atomically: build into a hidden temp
+    dir, commit by a single `os.rename` to a spec-hash-versioned name
+    (readers can never glob a half-written dir — it doesn't exist until
+    the rename), then swap the stable un-versioned path onto it as a
+    symlink via `os.replace` (atomic).  Concurrent builders race benignly:
+    whoever renames first wins, the loser discards its build.  A spec
+    change creates a NEW versioned dir, so in-flight readers of the old
+    path never see files mutate under them."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    h = hashlib.md5(tag.encode()).hexdigest()[:10]
+    os.makedirs(base_dir, exist_ok=True)
+    versioned = os.path.join(base_dir, f"{sub}.{h}")
+    link = os.path.join(base_dir, sub)
+    if not os.path.isdir(versioned):
+        tmp = tempfile.mkdtemp(dir=base_dir, prefix=f".{sub}.build.")
+        try:
+            build_fn(tmp)
+            try:
+                os.rename(tmp, versioned)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+    if os.path.isdir(link) and not os.path.islink(link):
+        shutil.rmtree(link, ignore_errors=True)  # pre-round-3 real dir
+    swap = f"{link}.swap.{os.getpid()}"
+    try:
+        os.symlink(os.path.basename(versioned), swap)
+        os.replace(swap, link)
+    except OSError:
+        if os.readlink(link) != os.path.basename(versioned):
+            raise
+    return link
+
+
 def _shared_log(sf_dir: str, ddl: bool = False) -> str:
     """Generate (once) and return the shared change-log path for this sf."""
     from binlake_spark.changelog import GenSpec, generate_change_log, write_change_log
@@ -845,25 +875,12 @@ def _shared_log(sf_dir: str, ddl: bool = False) -> str:
         ddl_events=ddl,
     )
     sub = "ddl_log" if ddl else "log"
-    out = f"{_ORACLE_LOG_BASE}/sf{sf}/{sub}"
-    marker = f"{_ORACLE_LOG_BASE}/sf{sf}/_SPEC_{sub}"
-    tag = repr(spec)
-    done = False
-    try:
-        with open(marker) as f:
-            done = f.read() == tag
-    except OSError:
-        pass
-    if not done:
-        import shutil
-
-        # clear first: a spec change that REDUCES the epoch-file count must
-        # not leave stale files behind for the '*.parquet' globs
-        shutil.rmtree(out, ignore_errors=True)
-        write_change_log(generate_change_log(spec), out)
-        with open(marker, "w") as f:
-            f.write(tag)
-    return out
+    return _publish_fixture_dir(
+        f"{_ORACLE_LOG_BASE}/sf{sf}",
+        sub,
+        repr(spec),
+        lambda tmp: write_change_log(generate_change_log(spec), tmp),
+    )
 
 
 def _tokens_sig():
@@ -1440,30 +1457,35 @@ def _wire_table(sf_dir: str) -> str:
     """Persist (once) a deterministic table pairing MySQL wire-encoded
     bytes with their source values, so the oracle can read the truth the
     decoder must reproduce."""
-    import os
-
     import numpy as np
     import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from binlake_spark.functions.binlog_decode import (
+        encode_char_table_meta,
+        encode_date,
         encode_datetime2,
+        encode_datetime_v0,
         encode_jsonb,
         encode_newdecimal,
+        encode_time2,
+        encode_time_v0,
+        encode_timestamp_v0,
     )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     n = max(1_000, int(100_000 * float(sf)))
     out = f"{_ORACLE_LOG_BASE}/sf{sf}/wire.parquet"
     marker = f"{_ORACLE_LOG_BASE}/sf{sf}/_SPEC_wire"
-    tag = f"v3:{n}"
+    tag = f"v5:{n}"
     try:
         with open(marker) as f:
             if f.read() == tag:
                 return out
     except OSError:
         pass
+    os.makedirs(os.path.dirname(out), exist_ok=True)
     from decimal import Decimal
 
     rng = np.random.default_rng(1234)
@@ -1492,12 +1514,50 @@ def _wire_table(sf_dir: str) -> str:
     from binlake_spark.functions.binlog_decode import ColumnSpec, encode_row_images
 
     props_wire = encode_jsonb(props)
+    # negative TIME2 values (±838h, fsp=4 so the two's-complement frac
+    # tail is exercised) and their exact signed-microsecond truth
+    td_us = [
+        int(sign) * int(secs) * 1_000_000 + int(sign) * int(frac) * 100
+        for sign, secs, frac in zip(
+            np.where(rng.random(n) < 0.5, -1, 1),
+            rng.integers(0, 838 * 3600, size=n),
+            rng.integers(0, 10_000, size=n),
+        )
+    ]
+    t2_wire = encode_time2([pd.Timedelta(us, "us") for us in td_us], fsp=4)
+    # pre-5.6 v0 DATETIME (second resolution), incl. the zero date the
+    # reference decodes as the 0000-00-00 literal (NULL in the lake)
+    ts0 = [t.floor("s") for t in ts]
+    dt0_wire = encode_datetime_v0(ts0)
+    dt0_wire = [
+        (0).to_bytes(8, "little") if i % 11 == 0 else w
+        for i, w in enumerate(dt0_wire)
+    ]
+    # v0 TIMESTAMP (epoch seconds), v0 TIME (signed int24 HHMMSS incl.
+    # negatives), and DATE (with zero-date rows → NULL)
+    tsv0_wire = encode_timestamp_v0(ts0)
+    tv0_s = [
+        int(sign) * int(secs)
+        for sign, secs in zip(
+            np.where(rng.random(n) < 0.5, -1, 1),
+            rng.integers(0, 838 * 3600, size=n),
+        )
+    ]
+    tv0_wire = encode_time_v0([pd.Timedelta(s, "s") for s in tv0_s])
+    d_wire = encode_date([t.date() for t in ts])
+    d_wire = [
+        (0).to_bytes(3, "little") if i % 13 == 0 else w
+        for i, w in enumerate(d_wire)
+    ]
     # packed ROWS_EVENT row images: null bitmap + values; price NULL on
-    # every 7th row so the bitmap path is exercised
+    # every 7th row so the bitmap path is exercised; ri_tag is a long CHAR
+    # whose byte length crosses 255 so the meta>=256 quirk (2-byte length
+    # prefix, RowsLogBuffer.java:252-268) is on the oracle-checked path
     ri_specs = [
         ColumnSpec("ri_price", "newdecimal", (14, 4)),
         ColumnSpec("ri_at", "datetime2", (6,)),
         ColumnSpec("ri_name", "varchar", (100,)),
+        ColumnSpec("ri_tag", "char", (encode_char_table_meta(308),)),
     ]
     row_images = encode_row_images(
         [
@@ -1505,6 +1565,7 @@ def _wire_table(sf_dir: str) -> str:
                 "ri_price": None if i % 7 == 0 else decs[i],
                 "ri_at": ts[i],
                 "ri_name": f"doc-{i}",
+                "ri_tag": "x" * (230 + i % 70) + f"-{i}",
             }
             for i in range(n)
         ],
@@ -1520,30 +1581,62 @@ def _wire_table(sf_dir: str) -> str:
             "props_str": pa.array(
                 [_json.dumps(p, sort_keys=True, separators=(",", ":")) for p in props]
             ),
+            "td_us": pa.array(td_us, type=pa.int64()),
+            "dt0_str": pa.array(
+                [
+                    None if i % 11 == 0 else t.strftime("%Y-%m-%d %H:%M:%S")
+                    for i, t in enumerate(ts0)
+                ]
+            ),
+            "ts0_str": pa.array([t.strftime("%Y-%m-%d %H:%M:%S") for t in ts0]),
+            "tv0_s": pa.array(tv0_s, type=pa.int64()),
+            "d_str": pa.array(
+                [
+                    None if i % 13 == 0 else t.strftime("%Y-%m-%d")
+                    for i, t in enumerate(ts)
+                ]
+            ),
             "dec_wire": pa.array(encode_newdecimal(decs, 14, 4), type=pa.binary()),
             "dt_wire": pa.array(encode_datetime2(ts, 6), type=pa.binary()),
+            "t2_wire": pa.array(t2_wire, type=pa.binary()),
+            "dt0_wire": pa.array(dt0_wire, type=pa.binary()),
+            "ts0_wire": pa.array(tsv0_wire, type=pa.binary()),
+            "tv0_wire": pa.array(tv0_wire, type=pa.binary()),
+            "d_wire": pa.array(d_wire, type=pa.binary()),
             "props_wire": pa.array(props_wire, type=pa.binary()),
             "row_image": pa.array(row_images, type=pa.binary()),
         }
     )
-    os.makedirs(os.path.dirname(out), exist_ok=True)
-    pq.write_table(tbl, out)
-    with open(marker, "w") as f:
+    # atomic single-file publish: a reader either sees the old complete
+    # file (os.replace keeps its inode alive for in-flight scans) or the
+    # new complete one, never a half-written parquet
+    tmp = f"{out}.build.{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, out)
+    mtmp = f"{marker}.build.{os.getpid()}"
+    with open(mtmp, "w") as f:
         f.write(tag)
+    os.replace(mtmp, marker)
     return out
 
 
 @_register(
     "cdc_wire_decode",
     f"""
-    SELECT row_id, dec_str AS dec, ts_str AS ts, props_str AS props
+    SELECT row_id, dec_str AS dec, ts_str AS ts, props_str AS props,
+           td_us, dt0_str AS dt0, ts0_str AS ts0, tv0_s, d_str AS d
     FROM '{_ORACLE_LOG_BASE}/sf0.01/wire.parquet'
     """,
 )
 def cdc_wire_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-level binlog value decode (RowsLogBuffer.fetchValue rebuild,
     RowsLogBuffer.java:248-1031 + JsonConversion.java:55-69):
-    NEWDECIMAL(14,4), DATETIME2(6), and binary-JSON (JSONB) wire bytes are
+    NEWDECIMAL(14,4), DATETIME2(6), binary-JSON (JSONB), sign-carrying
+    TIME2(4) (negative values use the reference's intpart++/complemented-
+    fraction rule, RowsLogBuffer.java:562-692), and the pre-5.6 v0
+    temporal family — DATETIME (RowsLogBuffer.java:466-560, zero dates →
+    NULL), TIMESTAMP (:402-465), signed TIME (:562-692 v0 arm), plus
+    DATE with zero-date rows — wire bytes are
     decoded in one fused mapInArrow pass; the oracle reads the source
     values the bytes were encoded from, so a hash match proves the decoder
     reproduces every value bit-exactly."""
@@ -1551,7 +1644,8 @@ def cdc_wire_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _wire_table(sf_dir)
     df = spark.read.parquet(path).select(
-        "row_id", "dec_wire", "dt_wire", "props_wire"
+        "row_id", "dec_wire", "dt_wire", "props_wire", "t2_wire",
+        "dt0_wire", "ts0_wire", "tv0_wire", "d_wire",
     )
     dec = decode_wire_columns(
         df,
@@ -1559,6 +1653,11 @@ def cdc_wire_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dec_wire": ("newdecimal", 14, 4),
             "dt_wire": ("datetime2", 6),
             "props_wire": ("jsonb",),
+            "t2_wire": ("time2_us", 4),
+            "dt0_wire": ("datetime_v0",),
+            "ts0_wire": ("timestamp_v0",),
+            "tv0_wire": ("time_v0_us",),
+            "d_wire": ("date",),
         },
     )
     return dec.select(
@@ -1566,6 +1665,11 @@ def cdc_wire_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dec_wire").cast("string").alias("dec"),
         F.date_format("dt_wire", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
         F.col("props_wire").alias("props"),
+        F.col("t2_wire").alias("td_us"),
+        F.date_format("dt0_wire", "yyyy-MM-dd HH:mm:ss").alias("dt0"),
+        F.date_format("ts0_wire", "yyyy-MM-dd HH:mm:ss").alias("ts0"),
+        (F.col("tv0_wire") / F.lit(1_000_000)).cast("long").alias("tv0_s"),
+        F.date_format("d_wire", "yyyy-MM-dd").alias("d"),
     )
 
 
@@ -1575,7 +1679,9 @@ def cdc_wire_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT row_id,
            CASE WHEN row_id % 7 = 0 THEN NULL ELSE dec_str END AS ri_price,
            ts_str AS ri_at,
-           'doc-' || CAST(row_id AS VARCHAR) AS ri_name
+           'doc-' || CAST(row_id AS VARCHAR) AS ri_name,
+           repeat('x', 230 + row_id % 70) || '-' || CAST(row_id AS VARCHAR)
+             AS ri_tag
     FROM '{_ORACLE_LOG_BASE}/sf0.01/wire.parquet'
     """,
 )
@@ -1584,8 +1690,16 @@ def cdc_row_image_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     RowsLogBuffer.fetchOneRow walk, RowsLogBuffer.java:248-1031): null
     bitmap + packed NEWDECIMAL/DATETIME2/VARCHAR values → typed columns
     in one fused mapInArrow pass; the oracle recomputes the truth from
-    the source columns, including the NULL-bitmap rows."""
-    from binlake_spark.functions.binlog_decode import ColumnSpec, decode_row_images
+    the source columns, including the NULL-bitmap rows.  ``ri_tag`` is a
+    CHAR column whose byte length crosses 255, so its table-map meta
+    hides the real type/length in the meta bytes (the MySQL bug #37426
+    quirk, RowsLogBuffer.java:252-268) — the hash match proves the
+    meta-unpack + 2-byte length-prefix walk is exact."""
+    from binlake_spark.functions.binlog_decode import (
+        ColumnSpec,
+        decode_row_images,
+        encode_char_table_meta,
+    )
 
     path = _wire_table(sf_dir)
     df = spark.read.parquet(path).select("row_id", "row_image")
@@ -1596,6 +1710,7 @@ def cdc_row_image_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ColumnSpec("ri_price", "newdecimal", (14, 4)),
             ColumnSpec("ri_at", "datetime2", (6,)),
             ColumnSpec("ri_name", "varchar", (100,)),
+            ColumnSpec("ri_tag", "char", (encode_char_table_meta(308),)),
         ],
     )
     return out.select(
@@ -1603,6 +1718,7 @@ def cdc_row_image_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ri_price").cast("string").alias("ri_price"),
         F.date_format("ri_at", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ri_at"),
         "ri_name",
+        "ri_tag",
     )
 
 

@@ -1,5 +1,6 @@
 from binlake_spark.sources.changelog_sources import (
     bounded_replay,
+    decode_kafka_envelope,
     file_changelog_stream,
     kafka_changelog_stream,
     rate_changelog_stream,
@@ -7,6 +8,7 @@ from binlake_spark.sources.changelog_sources import (
 
 __all__ = [
     "bounded_replay",
+    "decode_kafka_envelope",
     "file_changelog_stream",
     "kafka_changelog_stream",
     "rate_changelog_stream",

@@ -125,6 +125,24 @@ def _int32_le(t):
     return F.encode(F.concat(byte(0), byte(8), byte(16), byte(24)), "ISO-8859-1")
 
 
+def decode_kafka_envelope(raw: DataFrame) -> DataFrame:
+    """Kafka wire record → typed change-log envelope.
+
+    ``raw`` carries the Kafka source's fixed schema (key/value binary,
+    topic, partition, offset, ...); the value is the JSON envelope the
+    reference's converter produces per event (IConvert → Kafka producer,
+    ProduceTask.java:49-56).  Binary columns (payload/before_payload)
+    ride base64 inside the JSON, matching Spark's to_json/from_json
+    contract — so a producer using `to_json(struct(*))` round-trips
+    bit-exactly.  Factored out of :func:`kafka_changelog_stream` so the
+    decode contract is testable without the connector jar (the jar only
+    supplies `raw`; this function is the engine's half of the contract).
+    """
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), CHANGE_LOG_SCHEMA).alias("e")
+    ).select("e.*")
+
+
 def kafka_changelog_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -146,6 +164,4 @@ def kafka_changelog_stream(
             "Kafka source requires the spark-sql-kafka-0-10 connector jar "
             "(add via spark.jars.packages on a cluster with network access)"
         ) from e
-    return raw.select(
-        F.from_json(F.col("value").cast("string"), CHANGE_LOG_SCHEMA).alias("e")
-    ).select("e.*")
+    return decode_kafka_envelope(raw)

@@ -378,3 +378,236 @@ def test_row_image_year_enum_set_bit(spark):
     )
     r2 = got[2]
     assert all(getattr(r2, c) is None for c in ("y", "e1", "e2", "s", "b"))
+
+
+# ------------------------------------------------------------------ #
+# round 3: negative TIME2, pre-5.6 v0 temporals, zero dates, long CHAR,
+# NULLs through decode_wire_columns
+# ------------------------------------------------------------------ #
+def test_time2_negative_known_vector():
+    """-00:00:05.13 at fsp=4: my_time.c stores intpart floor-shifted and
+    the frac two's-complemented — int3 = 0x800000 - 6, int2 = 2^16 - 1300
+    (the reference's intpart++/frac adjustment, RowsLogBuffer TIME2)."""
+    from binlake_spark.functions.binlog_decode import decode_time2, encode_time2
+
+    v = -pd.Timedelta(seconds=5, microseconds=130_000)
+    [b] = encode_time2([v], fsp=4)
+    assert b == (0x800000 - 6).to_bytes(3, "big") + (0x10000 - 1300).to_bytes(2, "big")
+    [d] = decode_time2([b], fsp=4)
+    assert pd.Timedelta(d) == v
+    # whole-second negative (no frac adjustment): -838:59:59 at fsp=0
+    vmax = -pd.Timedelta(hours=838, minutes=59, seconds=59)
+    [b0] = encode_time2([vmax], fsp=0)
+    hms = (838 << 12) | (59 << 6) | 59
+    assert b0 == (0x800000 - hms).to_bytes(3, "big")
+    [d0] = decode_time2([b0], fsp=0)
+    assert pd.Timedelta(d0) == vmax
+
+
+@pytest.mark.parametrize("fsp", [0, 1, 2, 3, 4, 5, 6])
+def test_time2_negative_roundtrip(fsp):
+    from binlake_spark.functions.binlog_decode import decode_time2, encode_time2
+
+    rng = np.random.default_rng(17)
+    step = 10 ** (6 - fsp)
+    td = []
+    for _ in range(200):
+        mag = pd.Timedelta(int(rng.integers(0, 838 * 3600)), "s") + pd.Timedelta(
+            (int(rng.integers(0, 1_000_000)) // step) * step, "us"
+        )
+        td.append(-mag if rng.random() < 0.5 else mag)
+    td += [pd.Timedelta(0), -pd.Timedelta(500_000 // step * step, "us")]
+    got = decode_time2(encode_time2(td, fsp), fsp)
+    assert [pd.Timedelta(g) for g in got] == td
+
+
+def test_v0_temporal_known_vectors():
+    """Pre-5.6 formats (RowsLogBuffer.java:402-560): TIMESTAMP = LE epoch
+    seconds; DATETIME = LE decimal-packed YYYYMMDDHHMMSS; TIME = signed
+    LE int24 of HHMMSS."""
+    from binlake_spark.functions.binlog_decode import (
+        decode_datetime_v0,
+        decode_time_v0,
+        decode_timestamp_v0,
+        encode_datetime_v0,
+        encode_time_v0,
+        encode_timestamp_v0,
+    )
+
+    t = pd.Timestamp("2012-06-21 15:45:17")
+    [b] = encode_timestamp_v0([t])
+    assert b == int(t.value // 10**9).to_bytes(4, "little")
+    assert pd.Timestamp(decode_timestamp_v0([b])[0]) == t
+
+    [b] = encode_datetime_v0([t])
+    assert b == (20120621154517).to_bytes(8, "little")
+    assert pd.Timestamp(decode_datetime_v0([b])[0]) == t
+
+    v = -pd.Timedelta(hours=12, minutes=34, seconds=56)
+    [b] = encode_time_v0([v])
+    assert b == ((-123456) & 0xFFFFFF).to_bytes(3, "little")
+    assert pd.Timedelta(decode_time_v0([b])[0]) == v
+
+
+def test_v0_temporal_roundtrips():
+    from binlake_spark.functions.binlog_decode import (
+        decode_datetime_v0,
+        decode_time_v0,
+        decode_timestamp_v0,
+        encode_datetime_v0,
+        encode_time_v0,
+        encode_timestamp_v0,
+    )
+
+    rng = np.random.default_rng(23)
+    ts = [
+        pd.Timestamp("1971-01-01") + pd.Timedelta(int(rng.integers(0, 2 * 10**9)), "s")
+        for _ in range(200)
+    ]
+    assert [pd.Timestamp(g) for g in decode_timestamp_v0(encode_timestamp_v0(ts))] == ts
+    assert [pd.Timestamp(g) for g in decode_datetime_v0(encode_datetime_v0(ts))] == ts
+    td = [
+        (-1 if rng.random() < 0.5 else 1)
+        * pd.Timedelta(int(rng.integers(0, 838 * 3600)), "s")
+        for _ in range(200)
+    ]
+    assert [pd.Timedelta(g) for g in decode_time_v0(encode_time_v0(td))] == td
+
+
+def test_zero_dates_decode_to_nat():
+    """0000-00-00 (and month/day 0) → NaT, not a shifted bogus date (the
+    reference emits the zero literal; NULL is the lake-typed analog)."""
+    from binlake_spark.functions.binlog_decode import (
+        decode_date,
+        decode_datetime2,
+        decode_datetime_v0,
+    )
+
+    assert np.isnat(decode_date([b"\x00\x00\x00"])[0])
+    # 2024-00-15 and 2024-05-00 are also zero-ish per MySQL semantics
+    assert np.isnat(decode_date([((2024 << 9) | (0 << 5) | 15).to_bytes(3, "little")])[0])
+    assert np.isnat(decode_date([((2024 << 9) | (5 << 5) | 0).to_bytes(3, "little")])[0])
+    # DATETIME2 packed == zero datetime
+    zero_dt2 = (0x8000000000).to_bytes(5, "big")
+    assert np.isnat(decode_datetime2([zero_dt2], fsp=0)[0])
+    assert np.isnat(decode_datetime_v0([(0).to_bytes(8, "little")])[0])
+    # and a real value next to a zero stays exact
+    got = decode_datetime_v0(
+        [(0).to_bytes(8, "little"), (20240517123456).to_bytes(8, "little")]
+    )
+    assert np.isnat(got[0]) and pd.Timestamp(got[1]) == pd.Timestamp(
+        "2024-05-17 12:34:56"
+    )
+
+
+def test_long_char_meta_quirk():
+    """CHAR columns >255 bytes hide type+length in the meta bytes (MySQL
+    bug #37426; fetchValue special case RowsLogBuffer.java:252-268):
+    the decoded max length drives a 2-byte length prefix."""
+    from binlake_spark.functions.binlog_decode import (
+        char_meta,
+        encode_char_table_meta,
+    )
+
+    # 300-byte CHAR: meta byte0 = 0xFE ^ 0x10 = 0xEE, byte1 = 44
+    meta = encode_char_table_meta(300)
+    assert meta == (0xEE << 8) | 44
+    typ, ln = char_meta(meta)
+    assert (typ, ln) == (0xFE, 300)
+    # short CHAR keeps the plain layout
+    typ, ln = char_meta(encode_char_table_meta(255))
+    assert (typ, ln) == (0xFE, 255)
+    for want in (0, 1, 255, 256, 300, 511, 767, 1020, 1023):
+        _, ln = char_meta(encode_char_table_meta(want))
+        assert ln == want
+
+
+def test_row_image_long_char_and_v0(spark):
+    """Row-image walk with a 300-byte CHAR (2-byte prefix via the meta
+    quirk), a short CHAR, v0 temporals, and NULLs interleaved."""
+    from binlake_spark.functions.binlog_decode import (
+        ColumnSpec,
+        decode_row_images,
+        encode_char_table_meta,
+        encode_row_images,
+    )
+
+    specs = [
+        ColumnSpec("uid", "int32"),
+        ColumnSpec("c_long", "char", (encode_char_table_meta(300),)),
+        ColumnSpec("c_short", "char", (encode_char_table_meta(40),)),
+        ColumnSpec("dt0", "datetime_v0"),
+        ColumnSpec("t0", "time_v0"),
+        ColumnSpec("amount", "newdecimal", (12, 2)),
+    ]
+    long_text = "x" * 299 + "Z"
+    rows = [
+        {
+            "uid": 0,
+            "c_long": long_text,
+            "c_short": "hello",
+            "dt0": pd.Timestamp("2011-03-04 05:06:07"),
+            "t0": -pd.Timedelta(hours=100, minutes=2, seconds=3),
+            "amount": Decimal("12345.67"),
+        },
+        {
+            "uid": 1,
+            "c_long": None,
+            "c_short": "",
+            "dt0": None,
+            "t0": pd.Timedelta(0),
+            "amount": Decimal("-0.01"),
+        },
+    ]
+    imgs = encode_row_images(rows, specs)
+    out = decode_row_images(
+        spark.createDataFrame(pd.DataFrame({"row_image": imgs})), "row_image", specs
+    )
+    got = {r.uid: r for r in out.collect()}
+    assert got[0].c_long == long_text and got[0].c_short == "hello"
+    assert got[0].dt0 == pd.Timestamp("2011-03-04 05:06:07")
+    assert got[0].t0 == -pd.Timedelta(hours=100, minutes=2, seconds=3)
+    assert got[0].amount == Decimal("12345.67")
+    assert got[1].c_long is None and got[1].c_short == ""
+    assert got[1].dt0 is None and got[1].t0 == pd.Timedelta(0)
+    assert got[1].amount == Decimal("-0.01")
+
+
+def test_decode_wire_columns_nulls(spark):
+    """NULL binary cells propagate as typed NULLs through the fused
+    Arrow pass (was 'nulls unsupported by design')."""
+    from binlake_spark.functions.binlog_decode import (
+        decode_wire_columns,
+        encode_newdecimal,
+        encode_time2,
+    )
+
+    n = 100
+    decs = [Decimal(i).scaleb(-2) for i in range(n)]
+    denc = encode_newdecimal(decs, 10, 2)
+    tds = [
+        (-1 if i % 3 == 0 else 1) * pd.Timedelta(seconds=i, microseconds=i)
+        for i in range(n)
+    ]
+    tenc = encode_time2(tds, 6)
+    pdf = pd.DataFrame(
+        {
+            "row_id": np.arange(n, dtype=np.int64),
+            "amount": [None if i % 7 == 0 else denc[i] for i in range(n)],
+            "elapsed": [None if i % 5 == 0 else tenc[i] for i in range(n)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = decode_wire_columns(
+        df, {"amount": ("newdecimal", 10, 2), "elapsed": ("time2", 6)}
+    )
+    rows = {r.row_id: r for r in out.collect()}
+    for i in range(n):
+        if i % 7 == 0:
+            assert rows[i].amount is None
+        else:
+            assert rows[i].amount == decs[i]
+        if i % 5 == 0:
+            assert rows[i].elapsed is None
+        else:
+            assert rows[i].elapsed == tds[i].to_pytimedelta()

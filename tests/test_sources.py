@@ -51,3 +51,43 @@ def test_kafka_source_gated(spark):
 
     with pytest.raises(RuntimeError, match="spark-sql-kafka"):
         kafka_changelog_stream(spark, "localhost:9092", "t")
+
+
+def test_kafka_envelope_decode_contract(spark, tmp_path):
+    """The engine's half of the Kafka contract, without the connector jar:
+    a mock batch with the connector's exact wire schema (key/value binary,
+    topic/partition/offset/timestamp/timestampType) carrying to_json
+    envelopes must round-trip every CHANGE_LOG_SCHEMA column bit-exactly
+    through decode_kafka_envelope — including binary payloads (base64
+    inside the JSON), the extra map, and microsecond timestamps."""
+    from pyspark.sql import functions as F
+
+    from binlake_spark.changelog import GenSpec, generate_change_log, write_change_log
+    from binlake_spark.sources import bounded_replay, decode_kafka_envelope
+
+    pdf = generate_change_log(GenSpec(n_docs=10, n_events=100))
+    write_change_log(pdf, str(tmp_path / "log"))
+    log = bounded_replay(spark, str(tmp_path / "log"))
+
+    # producer side: the reference's converter → Kafka message (value =
+    # JSON envelope; key = doc_id, as the key-generator would partition)
+    cols = log.columns
+    mock_kafka = log.select(
+        F.encode(F.col("doc_id"), "UTF-8").alias("key"),
+        F.encode(F.to_json(F.struct(*cols)), "UTF-8").alias("value"),
+        F.lit("binlake.docs").alias("topic"),
+        F.pmod(F.crc32(F.col("doc_id").cast("binary")), F.lit(4)).cast("int").alias("partition"),
+        F.col("seq").alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+
+    decoded = decode_kafka_envelope(mock_kafka)
+    assert decoded.columns == cols
+    orig = {r["seq"]: r for r in (r.asDict(recursive=True) for r in log.collect())}
+    got = [r.asDict(recursive=True) for r in decoded.collect()]
+    assert len(got) == len(orig) == 100
+    for r in got:
+        o = orig[r["seq"]]
+        for c in cols:
+            assert r[c] == o[c], (r["seq"], c, r[c], o[c])
