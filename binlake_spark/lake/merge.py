@@ -528,3 +528,127 @@ def compact_buckets(
     )
     table._write_snapshot(snap)
     return {"compacted_buckets": len(todo), "version": version}
+
+
+def bootstrap_snapshot(
+    spark: SparkSession,
+    table: LakeTable,
+    snapshot_df: DataFrame,
+    *,
+    as_of_seq: int,
+    seq_col: str | None = None,
+    stream_id: str = "default",
+) -> MergeResult:
+    """Initial load: seed an empty table from a point-in-time snapshot of
+    the upstream table, then hand off to incremental replay.
+
+    This is the Debezium-style snapshot mode the reference's deployment
+    assumes exists upstream (BinLake ships only *changes*; the base rows
+    must already be in the sink — doc/binlake-arc.md describes dump from
+    a checkpointed position, DirectLogFetcher.java:38-120 fetches the log
+    over a JDBC connection from that position).  Spark-native shape: the
+    snapshot arrives as any DataFrame (``spark.read.jdbc`` partitioned by
+    key range in production; any source in tests), is hash-clustered by
+    the table's key into its bucket layout in ONE shuffle, and written
+    with no Python in the path.  Every bucket's watermark is fenced to
+    ``as_of_seq`` — the snapshot is authoritative for all state at or
+    below that position, so a subsequent replay from ``as_of_seq + 1``
+    (or a full replay under the watermark fence) converges to exactly the
+    state a from-scratch replay produces.
+
+    ``seq_col``: optional per-row version column in the snapshot (kept as
+    the row's ``_seq`` for LWW); otherwise every row gets ``as_of_seq``,
+    which is equivalent for correctness because replayed events carry
+    seqs strictly greater than the snapshot position.
+
+    Scale posture: the one shuffle is sized to the snapshot (unavoidable
+    for an initial load) and parallelized across ``num_buckets``; at
+    100 TB you raise ``num_buckets`` at create time and the write fans
+    out accordingly.  No collect, no per-row Python.
+    """
+    t0 = time.monotonic()
+    snap = table.snapshot()
+    if snap["files"] or snap.get("deltas") or snap["watermarks"]:
+        raise ValueError(
+            "bootstrap_snapshot requires an empty table — it seeds initial "
+            "state, it does not merge (use apply_batch/merge_into for that)"
+        )
+    key = snap["key_col"]
+    num_buckets = snap["num_buckets"]
+
+    # snapshot-authoritative additive evolution: columns the snapshot
+    # carries beyond the create-time schema are added (the reference's
+    # add-column-only rule, TableMeta.duplicateAndAddColumn)
+    schema = T.StructType.fromJson(snap["schema"])
+    known = {f.name for f in schema.fields}
+    extra = [
+        (f.name, f.dataType.simpleString())
+        for f in snapshot_df.schema.fields
+        if f.name not in known and f.name != seq_col
+    ]
+    if extra:
+        table.add_columns(extra)
+        snap = table.snapshot()
+        schema = T.StructType.fromJson(snap["schema"])
+
+    seq_expr = (
+        F.col(seq_col).cast("long") if seq_col else F.lit(int(as_of_seq)).cast("long")
+    )
+    aligned = snapshot_df.select(
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in snapshot_df.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ],
+        seq_expr.alias("_seq"),
+    ).withColumn("_b", F.pmod(F.hash(F.col(key)), F.lit(num_buckets)).cast("int"))
+
+    version = snap["version"] + 1
+    out_rel = os.path.join("data", f"c{version}")
+    out_dir = os.path.join(table.root, out_rel)
+    aligned.repartition(num_buckets, "_b").write.mode("overwrite").partitionBy(
+        "_b"
+    ).parquet(out_dir)
+
+    files: dict[int, list[str]] = {}
+    partitions: list[dict] = []
+    n_rows_total = 0
+    for bucket_dir in sorted(glob.glob(os.path.join(out_dir, "_b=*"))):
+        b = int(os.path.basename(bucket_dir).split("=", 1)[1])
+        paths = sorted(glob.glob(os.path.join(bucket_dir, "*.parquet")))
+        if not paths:
+            continue
+        files[b] = [os.path.relpath(p, table.root) for p in paths]
+        n_rows = sum(_footer_stats(p)[0] for p in paths)
+        n_rows_total += n_rows
+        partitions.append({"bucket": b, "n_rows": n_rows, "max_seq": int(as_of_seq)})
+
+    wall_ms = int((time.monotonic() - t0) * 1000)
+    snap["version"] = version
+    snap["files"] = {str(b): fl for b, fl in sorted(files.items())}
+    # EVERY bucket is fenced at the snapshot position, including buckets
+    # the snapshot happened to leave empty — state below as_of_seq is
+    # fully represented, so replaying any event at or below it must no-op
+    snap["watermarks"] = {str(b): int(as_of_seq) for b in range(num_buckets)}
+    snap["lineage"].append(
+        {
+            "kind": "bootstrap",
+            "stream_id": stream_id,
+            "version": version,
+            "as_of_seq": int(as_of_seq),
+            "wall_ms": wall_ms,
+            "n_rows": n_rows_total,
+            "partitions": partitions,
+        }
+    )
+    table._write_snapshot(snap)
+    return MergeResult(
+        applied=True,
+        epoch_id=-1,
+        version=version,
+        n_net=n_rows_total,
+        n_dirty_buckets=len(files),
+        wall_ms=wall_ms,
+        partitions=partitions,
+    )

@@ -950,6 +950,48 @@ def cdc_engine_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("cdc_snapshot_handoff", _REPLAY_ORACLE_SQL)
+def cdc_snapshot_handoff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot bootstrap + incremental handoff (the JDBC initial-load /
+    Debezium snapshot-mode analog; the reference dumps from a
+    checkpointed position and assumes the base rows already exist
+    downstream, DirectLogFetcher.java:38-120): materialize the upstream
+    state as of a mid-log position (here: the engine's own replay of the
+    log prefix, standing in for `spark.read.jdbc` of the primary),
+    bootstrap an EMPTY table from that snapshot in one bucket-clustered
+    write, then replay only the suffix (`from_seq = cut + 1`, a pushed
+    predicate).  The final state must hash-match the same full-replay
+    oracle as `cdc_engine_replay` — proving the bootstrap + position
+    fence + suffix replay composition is exact, across the mid-stream
+    schema-evolution point (the cut lands before it, so evolution happens
+    on the *incremental* side of the handoff)."""
+    import tempfile
+
+    from binlake_spark.changelog.generator import CHANGE_LOG_SCHEMA
+    from binlake_spark.streaming import CdcEngine
+
+    src = _shared_log(sf_dir)
+    log = spark.read.schema(CHANGE_LOG_SCHEMA).parquet(src)
+    # snapshot position: end of the second epoch (scalar, metadata-sized)
+    cut = int(
+        log.filter(F.col("epoch_hint") <= 1).agg(F.max("seq")).collect()[0][0]
+    )
+
+    work = tempfile.mkdtemp(prefix="binlake_driver_snap_")
+    # upstream-primary stand-in: engine replay of the prefix
+    upstream = CdcEngine(CdcEngine.create_table(f"{work}/primary", num_buckets=16))
+    upstream.apply_batch(log.filter(F.col("seq") <= cut), epoch_id=0)
+    snapshot_df = upstream.table.read(spark, with_seq=True)
+
+    table = CdcEngine.create_table(f"{work}/docs", num_buckets=16)
+    engine = CdcEngine(table)
+    engine.bootstrap_from_snapshot(spark, snapshot_df, as_of_seq=cut, seq_col="_seq")
+    engine.run_batch_replay(spark, src, from_seq=cut + 1)
+    return engine.read_state(spark).select(
+        "doc_id", "n_tok", "source", "lang", _tokens_sig()
+    )
+
+
 # --------------------------------------------------------------------- #
 # Multimodal plumbing (binary payload stats)
 # --------------------------------------------------------------------- #

@@ -469,6 +469,33 @@ class CdcEngine:
             n_events_hint=n_events,
         )
 
+    def bootstrap_from_snapshot(
+        self,
+        spark: SparkSession,
+        snapshot_df: DataFrame,
+        as_of_seq: int,
+        seq_col: str | None = None,
+    ) -> MergeResult:
+        """Seed an empty table from a point-in-time snapshot of the
+        upstream table (the JDBC initial-load / Debezium snapshot-mode
+        analog; the reference dumps changes from a checkpointed position
+        and assumes the base rows exist downstream,
+        DirectLogFetcher.java:38-120).  After this, hand off to
+        incremental replay with ``run_batch_replay(from_seq=as_of_seq+1)``
+        (or a full replay — the per-bucket fence at ``as_of_seq`` plus
+        per-row LWW makes re-applying the prefix a no-op).  See
+        :func:`binlake_spark.lake.merge.bootstrap_snapshot`."""
+        from binlake_spark.lake.merge import bootstrap_snapshot
+
+        return bootstrap_snapshot(
+            spark,
+            self.table,
+            snapshot_df,
+            as_of_seq=as_of_seq,
+            seq_col=seq_col,
+            stream_id=self.stream_id,
+        )
+
     def assert_source_covers_table(self, source_dir: str) -> None:
         """Fail fast when this table has applied seqs beyond the source —
         resuming such a pair silently no-ops every event (the watermark /

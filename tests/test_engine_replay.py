@@ -301,3 +301,92 @@ def test_ddl_only_epoch_applies_alter_and_commits(spark, tmp_path):
     names = [f.name for f in table.schema().fields]
     assert "lang" in names and "quality" in names
     assert engine.apply_batch(log, epoch_id=0).skipped_reason == "epoch-already-applied"
+
+
+def test_snapshot_bootstrap_handoff_matches_full_replay(spark, tmp_path):
+    """Initial-load handoff: bootstrap an empty table from the engine's
+    own prefix state (the JDBC-snapshot stand-in), replay only the
+    suffix, and land on exactly the full-replay state — across
+    retransmits, hot keys, and the mid-stream evolution point (which is
+    after the cut, so evolution happens on the incremental side)."""
+    from pyspark.sql import functions as F
+
+    from binlake_spark.changelog.generator import CHANGE_LOG_SCHEMA
+
+    spec = GenSpec(
+        n_docs=80, n_events=1500, retransmit_frac=0.15, hot_keys=2,
+        hot_frac=0.3, evolution_at=1000,
+    )
+    pdf = generate_change_log(spec)
+    src = str(tmp_path / "log")
+    write_change_log(pdf, src)
+    log = spark.read.schema(CHANGE_LOG_SCHEMA).parquet(src)
+    cut = 700  # before the evolution point
+
+    upstream = CdcEngine(
+        CdcEngine.create_table(str(tmp_path / "primary"), num_buckets=8)
+    )
+    upstream.apply_batch(log.filter(F.col("seq") <= cut), epoch_id=0)
+    snapshot_df = upstream.table.read(spark, with_seq=True)
+
+    table = CdcEngine.create_table(str(tmp_path / "docs"), num_buckets=8)
+    engine = CdcEngine(table)
+    res = engine.bootstrap_from_snapshot(
+        spark, snapshot_df, as_of_seq=cut, seq_col="_seq"
+    )
+    assert res.applied and res.n_net == snapshot_df.count()
+    # every bucket fenced at the snapshot position
+    wms = set(table.snapshot()["watermarks"].values())
+    assert wms == {cut}
+    assert [e for e in table._all_lineage() if e["kind"] == "bootstrap"]
+
+    engine.run_batch_replay(spark, src, from_seq=cut + 1)
+    assert_state_equals_oracle(spark, engine, pdf, check_lang=True)
+
+
+def test_snapshot_bootstrap_requires_empty_table(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from binlake_spark.changelog.generator import CHANGE_LOG_SCHEMA
+
+    pdf = generate_change_log(GenSpec(n_docs=20, n_events=200))
+    src = str(tmp_path / "log")
+    write_change_log(pdf, src)
+    log = spark.read.schema(CHANGE_LOG_SCHEMA).parquet(src)
+
+    table = CdcEngine.create_table(str(tmp_path / "docs"), num_buckets=4)
+    engine = CdcEngine(table)
+    engine.run_batch_replay(spark, src)
+    with pytest.raises(ValueError, match="empty table"):
+        engine.bootstrap_from_snapshot(
+            spark, engine.read_state(spark), as_of_seq=10**9
+        )
+
+
+def test_snapshot_bootstrap_full_replay_converges_via_fence(spark, tmp_path):
+    """Replaying the FULL log over a bootstrapped table (no from_seq)
+    must also converge: the per-bucket fence at as_of_seq plus per-row
+    LWW make the prefix a no-op."""
+    from pyspark.sql import functions as F
+
+    from binlake_spark.changelog.generator import CHANGE_LOG_SCHEMA
+
+    pdf = generate_change_log(GenSpec(n_docs=40, n_events=800, retransmit_frac=0.2))
+    src = str(tmp_path / "log")
+    write_change_log(pdf, src)
+    log = spark.read.schema(CHANGE_LOG_SCHEMA).parquet(src)
+    cut = 400
+
+    upstream = CdcEngine(
+        CdcEngine.create_table(str(tmp_path / "primary"), num_buckets=4)
+    )
+    upstream.apply_batch(log.filter(F.col("seq") <= cut), epoch_id=0)
+
+    table = CdcEngine.create_table(str(tmp_path / "docs"), num_buckets=4)
+    engine = CdcEngine(table)
+    engine.bootstrap_from_snapshot(
+        spark, upstream.table.read(spark, with_seq=True), as_of_seq=cut,
+        seq_col="_seq",
+    )
+    engine.run_batch_replay(spark, src)  # full log, no position
+    assert_state_equals_oracle(spark, engine, pdf)
