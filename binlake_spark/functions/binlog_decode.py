@@ -848,6 +848,10 @@ class ColumnSpec:
     meta: tuple = ()   # newdecimal: (P, S); *2 temporal: (fsp,);
                        # varchar: (max_BYTES,); char: (raw_meta,);
                        # blob: (len_bytes,)
+    charset: int = 33  # MySQL COLLATION id for varchar/char text decode
+                       # (CharsetConversion.java analog, functions/charset.py);
+                       # default 33 = utf8_general_ci; 63 = binary charset
+                       # → the column is bytes, not text
 
 
 def char_meta(meta: int) -> tuple[int, int]:
@@ -990,7 +994,14 @@ def decode_row_images(df, image_col: str, specs: list[ColumnSpec]):
         if k in ("time2", "time_v0"):
             return T.DayTimeIntervalType()
         if k in ("varchar", "char"):
-            return T.StringType()
+            from binlake_spark.functions.charset import codec_for_collation
+
+            # binary-charset CHAR/VARCHAR is VARBINARY (codec None)
+            return (
+                T.BinaryType()
+                if codec_for_collation(spec.charset) is None
+                else T.StringType()
+            )
         if k == "jsonb":
             return T.StringType()
         if k == "blob":
@@ -1042,7 +1053,10 @@ def decode_row_images(df, image_col: str, specs: list[ColumnSpec]):
         elif k == "time_v0":
             vals = list(decode_time_v0(raw))
         elif k in ("varchar", "char"):
-            vals = [c.decode("utf-8") for c in raw]
+            from binlake_spark.functions.charset import codec_for_collation
+
+            codec = codec_for_collation(spec.charset)
+            vals = raw if codec is None else [c.decode(codec) for c in raw]
         elif k == "jsonb":
             vals = decode_jsonb(raw)
         elif k == "blob":
@@ -1074,14 +1088,23 @@ def decode_row_images(df, image_col: str, specs: list[ColumnSpec]):
             "uint32": pa.int64(), "int64": pa.int64(),
             "uint64": pa.decimal128(20, 0),
             "float": pa.float32(), "double": pa.float64(),
-            "date": pa.date32(), "varchar": pa.string(), "char": pa.string(),
-            "jsonb": pa.string(),
+            "date": pa.date32(), "jsonb": pa.string(),
             "blob": pa.binary(), "year": pa.int16(), "enum": pa.int32(),
             "set": pa.int64(), "bit": pa.int64(),
         }.get(k) or (
             pa.decimal128(*spec.meta) if k == "newdecimal"
             else pa.duration("us") if k in ("time2", "time_v0")
+            else _string_arrow_type(spec) if k in ("varchar", "char")
             else pa.timestamp("us")
+        )
+
+    def _string_arrow_type(spec: ColumnSpec):
+        from binlake_spark.functions.charset import codec_for_collation
+
+        return (
+            pa.binary()
+            if codec_for_collation(spec.charset) is None
+            else pa.string()
         )
 
     def fn(batches):
@@ -1146,14 +1169,18 @@ def encode_row_images(rows: list[dict], specs: list[ColumnSpec]) -> list[bytes]:
                 body += encode_timestamp_v0([v])[0]
             elif k == "time_v0":
                 body += encode_time_v0([v])[0]
-            elif k == "varchar":
-                raw = v.encode("utf-8")
-                lb = 2 if spec.meta and spec.meta[0] > 255 else 1
-                body += len(raw).to_bytes(lb, "little") + raw
-            elif k == "char":
-                raw = v.encode("utf-8")
-                _, max_len = char_meta(spec.meta[0] if spec.meta else 0)
-                lb = 2 if max_len > 255 else 1
+            elif k in ("varchar", "char"):
+                from binlake_spark.functions.charset import (
+                    codec_for_collation,
+                )
+
+                codec = codec_for_collation(spec.charset)
+                raw = v if codec is None else v.encode(codec)
+                if k == "varchar":
+                    lb = 2 if spec.meta and spec.meta[0] > 255 else 1
+                else:
+                    _, max_len = char_meta(spec.meta[0] if spec.meta else 0)
+                    lb = 2 if max_len > 255 else 1
                 body += len(raw).to_bytes(lb, "little") + raw
             elif k in ("blob", "jsonb"):
                 raw = v if isinstance(v, bytes) else encode_jsonb([v])[0]

@@ -1520,7 +1520,7 @@ def _wire_table(sf_dir: str) -> str:
     n = max(1_000, int(100_000 * float(sf)))
     out = f"{_ORACLE_LOG_BASE}/sf{sf}/wire.parquet"
     marker = f"{_ORACLE_LOG_BASE}/sf{sf}/_SPEC_wire"
-    tag = f"v5:{n}"
+    tag = f"v7:{n}"
     try:
         with open(marker) as f:
             if f.read() == tag:
@@ -1554,6 +1554,7 @@ def _wire_table(sf_dir: str) -> str:
     import json as _json
 
     from binlake_spark.functions.binlog_decode import ColumnSpec, encode_row_images
+    from binlake_spark.functions.framing import frame_payloads as _frame
 
     props_wire = encode_jsonb(props)
     # negative TIME2 values (±838h, fsp=4 so the two's-complement frac
@@ -1600,7 +1601,16 @@ def _wire_table(sf_dir: str) -> str:
         ColumnSpec("ri_at", "datetime2", (6,)),
         ColumnSpec("ri_name", "varchar", (100,)),
         ColumnSpec("ri_tag", "char", (encode_char_table_meta(308),)),
+        # non-utf8 charsets on the oracle path: gbk (collation 28) and
+        # latin1 (8) — the image carries charset-specific bytes, so a
+        # hash match proves the collation→codec map picked right
+        ColumnSpec("ri_label", "varchar", (120,), charset=28),
+        ColumnSpec("ri_city", "char", (encode_char_table_meta(40),), charset=8),
     ]
+    zh_words = ["数据库", "同步", "变更", "日志", "分区", "快照", "回放", "校验"]
+    cities = ["Zürich", "München", "São-Paulo", "Montréal", "Malmö"]
+    labels = [f"{zh_words[i % 8]}-{i}" for i in range(n)]
+    city_vals = [cities[i % 5] for i in range(n)]
     row_images = encode_row_images(
         [
             {
@@ -1608,6 +1618,8 @@ def _wire_table(sf_dir: str) -> str:
                 "ri_at": ts[i],
                 "ri_name": f"doc-{i}",
                 "ri_tag": "x" * (230 + i % 70) + f"-{i}",
+                "ri_label": labels[i],
+                "ri_city": None if i % 9 == 0 else city_vals[i],
             }
             for i in range(n)
         ],
@@ -1647,6 +1659,22 @@ def _wire_table(sf_dir: str) -> str:
             "d_wire": pa.array(d_wire, type=pa.binary()),
             "props_wire": pa.array(props_wire, type=pa.binary()),
             "row_image": pa.array(row_images, type=pa.binary()),
+            # MySQL-framed packet stream per row (3-byte LE length + seq
+            # id): three deterministic payloads whose text the oracle
+            # recomputes by expression
+            "frames_wire": pa.array(
+                [
+                    _frame([f"evt-{i}-{j}".encode() for j in range(3)])
+                    for i in range(n)
+                ],
+                type=pa.binary(),
+            ),
+            # canonical utf-8 truth for the charset columns (independent
+            # of the decoder: written from the source python strings)
+            "label_str": pa.array(labels),
+            "city_str": pa.array(
+                [None if i % 9 == 0 else c for i, c in enumerate(city_vals)]
+            ),
         }
     )
     # atomic single-file publish: a reader either sees the old complete
@@ -1723,7 +1751,9 @@ def cdc_wire_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            ts_str AS ri_at,
            'doc-' || CAST(row_id AS VARCHAR) AS ri_name,
            repeat('x', 230 + row_id % 70) || '-' || CAST(row_id AS VARCHAR)
-             AS ri_tag
+             AS ri_tag,
+           label_str AS ri_label,
+           city_str AS ri_city
     FROM '{_ORACLE_LOG_BASE}/sf0.01/wire.parquet'
     """,
 )
@@ -1736,7 +1766,10 @@ def cdc_row_image_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     CHAR column whose byte length crosses 255, so its table-map meta
     hides the real type/length in the meta bytes (the MySQL bug #37426
     quirk, RowsLogBuffer.java:252-268) — the hash match proves the
-    meta-unpack + 2-byte length-prefix walk is exact."""
+    meta-unpack + 2-byte length-prefix walk is exact.  ``ri_label``
+    (gbk, collation 28) and ``ri_city`` (latin1, collation 8) carry
+    charset-specific bytes, so the match also proves the collation →
+    codec map (CharsetConversion.java analog, functions/charset.py)."""
     from binlake_spark.functions.binlog_decode import (
         ColumnSpec,
         decode_row_images,
@@ -1753,6 +1786,10 @@ def cdc_row_image_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ColumnSpec("ri_at", "datetime2", (6,)),
             ColumnSpec("ri_name", "varchar", (100,)),
             ColumnSpec("ri_tag", "char", (encode_char_table_meta(308),)),
+            ColumnSpec("ri_label", "varchar", (120,), charset=28),
+            ColumnSpec(
+                "ri_city", "char", (encode_char_table_meta(40),), charset=8
+            ),
         ],
     )
     return out.select(
@@ -1761,6 +1798,38 @@ def cdc_row_image_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ri_at", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ri_at"),
         "ri_name",
         "ri_tag",
+        "ri_label",
+        "ri_city",
+    )
+
+
+@_register(
+    "cdc_packet_framing",
+    f"""
+    SELECT row_id, u.j AS pkt_idx,
+           'evt-' || CAST(row_id AS VARCHAR) || '-' || CAST(u.j AS VARCHAR)
+             AS payload_text
+    FROM '{_ORACLE_LOG_BASE}/sf0.01/wire.parquet'
+    CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS j) u
+    """,
+)
+def cdc_packet_framing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MySQL packet deframing (BinlogWorker.java:747-788
+    getPacketLength/checkReadBuffer rebuild): each row's ``frames_wire``
+    blob is a framed stream (3-byte LE length + seq id) of three
+    payloads; one fused Arrow pass walks the frames and explodes each
+    blob into (pkt_idx, payload) rows with no shuffle.  The oracle
+    recomputes every payload's text by expression, so a hash match
+    proves the length-walk, sequence check, and payload slicing are
+    exact."""
+    from binlake_spark.functions.framing import deframe_stream
+
+    path = _wire_table(sf_dir)
+    df = spark.read.parquet(path).select("row_id", "frames_wire")
+    return deframe_stream(df, "frames_wire").select(
+        "row_id",
+        "pkt_idx",
+        F.col("payload").cast("string").alias("payload_text"),
     )
 
 

@@ -611,3 +611,89 @@ def test_decode_wire_columns_nulls(spark):
             assert rows[i].elapsed is None
         else:
             assert rows[i].elapsed == tds[i].to_pytimedelta()
+
+
+def test_charset_collation_table():
+    """Public SHOW COLLATION mapping (CharsetConversion.java analog) —
+    including the two mappings the reference gets wrong (utf8mb4 ids
+    45/46 → MacCentralEurope there; latin5 → ISO8859_5 there)."""
+    from binlake_spark.functions.charset import (
+        charset_for_collation,
+        codec_for_collation,
+    )
+
+    assert charset_for_collation(28) == "gbk"
+    assert charset_for_collation(33) == "utf8"
+    assert charset_for_collation(8) == "latin1"
+    assert charset_for_collation(45) == "utf8mb4"
+    assert charset_for_collation(255) == "utf8mb4"  # 8.0 uca900 default
+    assert charset_for_collation(63) == "binary"
+    assert charset_for_collation(248) == "gb18030"
+    assert codec_for_collation(45) == "utf-8"       # NOT MacCentralEurope
+    assert codec_for_collation(30) == "iso8859-9"   # Turkish, NOT 8859-5
+    assert codec_for_collation(63) is None
+    with pytest.raises(ValueError, match="unknown MySQL collation"):
+        charset_for_collation(17_000)
+    with pytest.raises(LookupError, match="no.*exact Python codec"):
+        codec_for_collation(10)  # swe7
+
+
+def test_charset_known_byte_vectors():
+    """Byte-level truth: the same text has different wire bytes per
+    charset, and the decoder must pick the right codec from the
+    collation id (RowsLogBuffer fetchValue string arm + charset from the
+    table meta)."""
+    from binlake_spark.functions.binlog_decode import (
+        ColumnSpec,
+        encode_row_images,
+        split_row_images,
+    )
+
+    # "中文" in gbk is 4 bytes, in utf8 6 bytes; "café" latin1 has 0xE9
+    specs = [
+        ColumnSpec("g", "varchar", (80,), charset=28),
+        ColumnSpec("u", "varchar", (80,), charset=45),
+        ColumnSpec("l", "varchar", (80,), charset=8),
+    ]
+    img = encode_row_images([{"g": "中文", "u": "中文", "l": "café"}], specs)[0]
+    cells = split_row_images([img], specs)
+    assert cells[0][0] == "中文".encode("gbk") and len(cells[0][0]) == 4
+    assert cells[1][0] == "中文".encode("utf-8") and len(cells[1][0]) == 6
+    assert cells[2][0] == b"caf\xe9"
+
+
+def test_row_image_charsets_spark(spark):
+    """gbk / latin1 / big5 / binary-collation columns through the fused
+    Spark decode pass: text survives bit-exactly per charset, and the
+    binary charset (63) yields bytes, not a string."""
+    from binlake_spark.functions.binlog_decode import (
+        ColumnSpec,
+        decode_row_images,
+        encode_char_table_meta,
+        encode_row_images,
+    )
+
+    specs = [
+        ColumnSpec("uid", "int32"),
+        ColumnSpec("zh", "varchar", (120,), charset=28),      # gbk
+        ColumnSpec("fr", "char", (encode_char_table_meta(40),), charset=8),
+        ColumnSpec("tw", "varchar", (120,), charset=1),       # big5
+        ColumnSpec("raw", "varchar", (40,), charset=63),      # binary
+    ]
+    rows = [
+        {"uid": 0, "zh": "数据库同步", "fr": "déjà vu", "tw": "資料庫",
+         "raw": b"\x00\xff\xfe"},
+        {"uid": 1, "zh": None, "fr": "", "tw": "繁體", "raw": b""},
+    ]
+    imgs = encode_row_images(rows, specs)
+    out = decode_row_images(
+        spark.createDataFrame(pd.DataFrame({"row_image": imgs})),
+        "row_image",
+        specs,
+    )
+    assert dict(out.dtypes)["raw"] == "binary"
+    got = {r.uid: r for r in out.collect()}
+    assert got[0].zh == "数据库同步" and got[0].fr == "déjà vu"
+    assert got[0].tw == "資料庫" and bytes(got[0].raw) == b"\x00\xff\xfe"
+    assert got[1].zh is None and got[1].fr == ""
+    assert got[1].tw == "繁體" and bytes(got[1].raw) == b""

@@ -1,0 +1,82 @@
+"""MySQL packet framing: 3-byte LE length + seq id, 16 MiB − 1
+continuation chains (BinlogWorker.java:747-788 analog)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from binlake_spark.functions.framing import (
+    MAX_PACKET_PAYLOAD,
+    deframe_stream,
+    frame_payloads,
+    split_packets,
+)
+
+
+def test_frame_roundtrip_small():
+    payloads = [b"", b"a", b"hello world", bytes(range(256)) * 10]
+    buf = frame_payloads(payloads)
+    # each small payload is exactly one packet: 4-byte head + body
+    assert len(buf) == sum(4 + len(p) for p in payloads)
+    assert split_packets(buf) == payloads
+    # header spot-check: first packet is length 0, seq 0
+    assert buf[:4] == b"\x00\x00\x00\x00"
+    assert buf[4:7] == b"\x01\x00\x00" and buf[7] == 1
+
+
+def test_frame_continuation_chain():
+    """Payloads at and past the 0xFFFFFF ceiling split into continuation
+    packets; an exact multiple ends with an EMPTY terminator packet."""
+    just_under = bytes(MAX_PACKET_PAYLOAD - 1)
+    exact = bytes(MAX_PACKET_PAYLOAD)          # 1 full + 1 empty
+    over = bytes(MAX_PACKET_PAYLOAD + 5)       # 1 full + 1×5
+    double = bytes(2 * MAX_PACKET_PAYLOAD)     # 2 full + 1 empty
+    buf = frame_payloads([just_under, exact, over, double, b"tail"])
+    n_packets = 1 + 2 + 2 + 3 + 1
+    assert len(buf) == n_packets * 4 + sum(
+        len(p) for p in (just_under, exact, over, double, b"tail")
+    )
+    got = split_packets(buf)
+    assert [len(p) for p in got] == [
+        len(just_under), len(exact), len(over), len(double), 4
+    ]
+    assert got[2] == over and got[4] == b"tail"
+
+
+def test_split_packets_errors():
+    buf = frame_payloads([b"abc", b"defg"])
+    with pytest.raises(ValueError, match="truncated packet header"):
+        split_packets(buf[:-6])  # cuts into the second header
+    with pytest.raises(ValueError, match="truncated packet body"):
+        split_packets(buf[:-1])
+    # seq gap: second packet claims seq 5
+    bad = bytearray(buf)
+    bad[4 + 3 + 3] = 5
+    with pytest.raises(ValueError, match="sequence gap"):
+        split_packets(bytes(bad))
+    # unterminated continuation chain
+    full = frame_payloads([bytes(MAX_PACKET_PAYLOAD)])
+    with pytest.raises(ValueError, match="continuation chain"):
+        split_packets(full[: 4 + MAX_PACKET_PAYLOAD])
+
+
+def test_deframe_stream_spark(spark):
+    """Blob column → one row per logical payload, passthrough columns
+    preserved, pkt_idx gives in-connection decode order."""
+    rng = np.random.default_rng(7)
+    blobs, truth = [], []
+    for i in range(40):
+        ps = [
+            rng.integers(0, 256, size=int(rng.integers(0, 200))).astype(np.uint8).tobytes()
+            for _ in range(int(rng.integers(1, 6)))
+        ]
+        blobs.append(frame_payloads(ps))
+        truth.append(ps)
+    pdf = pd.DataFrame({"conn_id": np.arange(40, dtype=np.int64), "blob": blobs})
+    out = deframe_stream(spark.createDataFrame(pdf), "blob").collect()
+    got: dict[int, dict[int, bytes]] = {}
+    for r in out:
+        got.setdefault(r.conn_id, {})[r.pkt_idx] = bytes(r.payload)
+    assert len(out) == sum(len(t) for t in truth)
+    for i, ps in enumerate(truth):
+        assert [got[i][j] for j in range(len(ps))] == ps
