@@ -109,6 +109,7 @@ class CdcEngine:
         mor_compact_every: int = 8,
         broadcast_winners: bool | None = None,
         broadcast_winner_limit: int = 4_000_000,
+        alarms=None,
     ):
         """``salt``: two-stage compaction for pathological key skew.  Note
         that ordinary hot keys are already absorbed by ``max_by``'s
@@ -167,6 +168,9 @@ class CdcEngine:
         self.mor_compact_every = mor_compact_every
         self.broadcast_winners = broadcast_winners
         self.broadcast_winner_limit = broadcast_winner_limit
+        # optional AlarmManager (streaming/alarms.py — AlarmUtils analog):
+        # observes every MergeResult and resume retry, never the data path
+        self.alarms = alarms
 
     # ------------------------------------------------------------------ #
     @classmethod
@@ -428,6 +432,8 @@ class CdcEngine:
                     and self.table.snapshot()["version"] % self.expire_every == 0
                 ):
                     self.table.expire_snapshots(keep_last=self.expire_keep_last)
+            if self.alarms is not None:
+                self.alarms.observe_epoch(result, stream_id=self.stream_id)
             return result
         finally:
             cached.unpersist()
@@ -588,10 +594,18 @@ class CdcEngine:
                 else:
                     q.awaitTermination()
                 return q
-            except StreamingQueryException:
+            except StreamingQueryException as e:
                 if attempts >= resume_retries:
+                    if self.alarms is not None:
+                        self.alarms.observe_resume_retry(
+                            attempts + 1, self.stream_id, error=str(e)
+                        )
                     raise
                 attempts += 1
+                if self.alarms is not None:
+                    self.alarms.observe_resume_retry(
+                        attempts, self.stream_id, error=str(e)
+                    )
                 time.sleep(retry_backoff_s * attempts)
             finally:
                 if q.isActive:

@@ -1,0 +1,88 @@
+"""HTTP admin plane (AliveHandler/MonitorHandler + SetBinlogPosHandler
+analogs) — contract test against a live stdlib server."""
+
+import json
+import urllib.request
+
+from binlake_spark.admin import AdminServer
+from binlake_spark.streaming.alarms import AlarmManager
+
+
+def _get(port, path):
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _post(port, path, obj):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_admin_http_contract(spark, tmp_path):
+    from binlake_spark.changelog.generator import (
+        CHANGE_LOG_SCHEMA,
+        GenSpec,
+        generate_change_log,
+        write_change_log,
+    )
+    from binlake_spark.streaming import CdcEngine
+
+    pdf = generate_change_log(GenSpec(n_docs=30, n_events=300))
+    src = str(tmp_path / "log")
+    write_change_log(pdf, src)
+    log = spark.read.schema(CHANGE_LOG_SCHEMA).parquet(src)
+
+    am = AlarmManager(epoch_wall_warn_ms=0)
+    engine = CdcEngine(
+        CdcEngine.create_table(str(tmp_path / "docs"), num_buckets=4),
+        alarms=am,
+    )
+    engine.apply_batch(log, epoch_id=0)
+
+    with AdminServer(engine.table, alarms=am) as srv:
+        port = srv.port
+        assert _get(port, "/alive") == (200, {"status": "SUCCESS"})
+
+        code, mon = _get(port, "/monitor")
+        assert code == 200 and mon["num_buckets"] == 4
+        assert mon["epochs"] == {"cdc": 0} and mon["alarms"] == 1
+        assert mon["watermark_max"] >= mon["watermark_min"] > 0
+
+        code, offs = _get(port, "/offsets")
+        assert code == 200 and len(offs["watermarks"]) == 4
+
+        code, lin = _get(port, "/lineage?n=5")
+        assert code == 200 and lin[-1]["kind"] == "merge"
+
+        code, alarms = _get(port, "/alarms")
+        assert code == 200 and alarms[0]["rule"] == "epoch-slow"
+
+        # SetBinlogPosHandler analog: rewind the epoch guard over HTTP,
+        # audited in lineage, then re-apply actually runs again
+        code, res = _post(port, "/set-position",
+                          {"stream_id": "cdc", "epoch": -1})
+        assert code == 200 and res["previous_epoch"] == 0
+        assert engine.table.last_epoch("cdc") == -1
+        _, lin = _get(port, "/lineage?n=1")
+        assert lin[0]["kind"] == "admin" and lin[0]["op"] == "set_stream_epoch"
+        assert engine.apply_batch(log, epoch_id=0).applied
+
+        code, res = _post(port, "/reset-watermarks", {"buckets": [0, 1]})
+        assert code == 200 and sorted(map(int, res["cleared"])) == [0, 1]
+
+        # error contract: bad body is a 400, unknown route a 404
+        assert _post(port, "/set-position", {"epoch": 3})[0] == 400
+        assert _get(port, "/nope")[0] == 404
+        assert _post(port, "/nope", {})[0] == 404

@@ -697,3 +697,58 @@ def test_row_image_charsets_spark(spark):
     assert got[0].tw == "資料庫" and bytes(got[0].raw) == b"\x00\xff\xfe"
     assert got[1].zh is None and got[1].fr == ""
     assert got[1].tw == "繁體" and bytes(got[1].raw) == b""
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.lists(
+            st.text(
+                # chars every tested charset can carry: ASCII + a CJK set
+                alphabet=st.sampled_from(
+                    list("abcXYZ09 _-") + list("数据库同步变更日志")
+                ),
+                max_size=40,
+            )
+            | st.none(),
+            min_size=1,
+            max_size=6,
+        ),
+        st.sampled_from([28, 45, 24, 1, 248]),  # gbk utf8mb4 gb2312 big5 gb18030
+    )
+    def test_charset_property_roundtrip(texts, collation):
+        """Any charset-encodable text survives the row-image walk under
+        any of the CJK-capable collations, NULLs included."""
+        from hypothesis import assume
+
+        from binlake_spark.functions.binlog_decode import (
+            ColumnSpec,
+            encode_row_images,
+            split_row_images,
+        )
+        from binlake_spark.functions.charset import codec_for_collation
+
+        codec = codec_for_collation(collation)
+        try:  # e.g. simplified-only chars are not big5-encodable
+            for t in texts:
+                if t is not None:
+                    t.encode(codec)
+        except UnicodeEncodeError:
+            assume(False)
+        specs = [
+            ColumnSpec(f"c{i}", "varchar", (300,), charset=collation)
+            for i in range(len(texts))
+        ]
+        imgs = encode_row_images([dict(zip((s.name for s in specs), texts))], specs)
+        cells = split_row_images(imgs, specs)
+        got = [
+            None if cells[i][0] is None else cells[i][0].decode(codec)
+            for i in range(len(texts))
+        ]
+        assert got == list(texts)
+
+except ImportError:  # pragma: no cover
+    pass

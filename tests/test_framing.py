@@ -80,3 +80,20 @@ def test_deframe_stream_spark(spark):
     assert len(out) == sum(len(t) for t in truth)
     for i, ps in enumerate(truth):
         assert [got[i][j] for j in range(len(ps))] == ps
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.binary(min_size=0, max_size=500), min_size=0, max_size=8),
+        st.integers(min_value=0, max_value=255),
+    )
+    def test_framing_property_roundtrip(payloads, start_seq):
+        buf = frame_payloads(payloads, start_seq=start_seq)
+        assert split_packets(buf) == payloads
+
+except ImportError:  # pragma: no cover
+    pass
