@@ -1804,6 +1804,39 @@ def cdc_row_image_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "cdc_produce_order",
+    f"""
+    SELECT CAST(CAST(('0x' || substr(md5(doc_id), 1, 15)) AS BIGINT) % 16
+                AS INT) AS pt,
+           ROW_NUMBER() OVER (
+             PARTITION BY CAST(('0x' || substr(md5(doc_id), 1, 15)) AS BIGINT) % 16
+             ORDER BY seq
+           ) - 1 AS emit_idx,
+           doc_id AS key, seq
+    FROM '{_ORACLE_LOG_BASE}/sf0.01/log/*.parquet'
+    """,
+)
+def cdc_produce_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's per-key ordering guarantee through the produce
+    path (key → ``hash & 1023`` partition, HashUtils.java:30-133; ordered
+    per-partition producer queues): cluster on the partition id, sort
+    within partitions by seq, and Avro-encode in the SAME fused Arrow
+    pass that stamps ``emit_idx`` from a physical per-partition counter
+    (streaming/produce.py).  The oracle recomputes each event's partition
+    (portable 60-bit md5 hash) and its in-partition rank by seq — a hash
+    match therefore proves the *actual emission order* equals binlog
+    order per partition, not just that a window function would say so."""
+    from binlake_spark.changelog.generator import CHANGE_LOG_SCHEMA
+    from binlake_spark.streaming.produce import ordered_produce
+
+    src = _shared_log(sf_dir)
+    log = spark.read.schema(CHANGE_LOG_SCHEMA).parquet(src)
+    return ordered_produce(log, num_partitions=16, portable=True).select(
+        "pt", "emit_idx", "key", "seq"
+    )
+
+
+@_register(
     "cdc_packet_framing",
     f"""
     SELECT row_id, u.j AS pkt_idx,
