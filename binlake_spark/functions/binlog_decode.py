@@ -459,7 +459,10 @@ def decode_wire_columns(df, specs: dict):
     ``specs``: {col: ("newdecimal", P, S) | ("datetime2", fsp) |
     ("timestamp2", fsp) | ("time2", fsp) | ("time2_us", fsp) | ("jsonb",) |
     ("datetime_v0",) | ("timestamp_v0",) | ("time_v0",) | ("time_v0_us",) |
-    ("date",)}.  ``time2_us``/``time_v0_us``
+    ("date",) | ("string", collation_id)}.  ``string`` decodes the whole
+    binary cell as text via the collation's codec
+    (functions/charset.py); the binary collation (63) keeps bytes.
+    ``time2_us``/``time_v0_us``
     decode TIME to signed total microseconds as BIGINT (the portable
     lake representation — interval↔numeric casts are not portable across
     engines, raw micros are).  The binary
@@ -485,6 +488,15 @@ def decode_wire_columns(df, specs: dict):
             return T.DateType()
         if kind == "jsonb":
             return T.StringType()
+        if kind == "string":
+            from binlake_spark.functions.charset import codec_for_collation
+
+            collation = spec[1] if len(spec) > 1 else 33
+            return (
+                T.BinaryType()
+                if codec_for_collation(collation) is None
+                else T.StringType()
+            )
         raise ValueError(f"unknown wire type {kind!r}")
 
     out_schema = T.StructType(
@@ -527,6 +539,13 @@ def decode_wire_columns(df, specs: dict):
             ], pa.date32()
         if kind == "jsonb":
             return decode_jsonb(raw), pa.string()
+        if kind == "string":
+            from binlake_spark.functions.charset import codec_for_collation
+
+            codec = codec_for_collation(spec[1] if len(spec) > 1 else 33)
+            if codec is None:
+                return raw, pa.binary()
+            return [c.decode(codec) for c in raw], pa.string()
         raise ValueError(f"unknown wire type {kind!r}")
 
     def fn(batches):

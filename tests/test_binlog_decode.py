@@ -752,3 +752,28 @@ try:
 
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_decode_wire_columns_string_charsets(spark):
+    """Whole-cell string wire columns decode per collation, NULLs
+    propagate, binary collation stays bytes."""
+    from binlake_spark.functions.binlog_decode import decode_wire_columns
+
+    pdf = pd.DataFrame(
+        {
+            "row_id": [0, 1, 2],
+            "zh": ["中文".encode("gbk"), None, "日志".encode("gbk")],
+            "fr": ["café".encode("latin-1"), "".encode(), None],
+            "raw": [b"\x00\xff", b"", None],
+        }
+    )
+    out = decode_wire_columns(
+        spark.createDataFrame(pdf),
+        {"zh": ("string", 28), "fr": ("string", 8), "raw": ("string", 63)},
+    )
+    assert dict(out.dtypes)["raw"] == "binary"
+    rows = {r.row_id: r for r in out.collect()}
+    assert rows[0].zh == "中文" and rows[0].fr == "café"
+    assert bytes(rows[0].raw) == b"\x00\xff"
+    assert rows[1].zh is None and rows[1].fr == "" and bytes(rows[1].raw) == b""
+    assert rows[2].zh == "日志" and rows[2].fr is None and rows[2].raw is None

@@ -129,3 +129,20 @@ def test_compaction_unpinned_winners_use_shuffle_join(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ordered_produce_single_exchange_local_sort(spark, tmp_path):
+    """ordered_produce must be exactly: one hash exchange on pt + a
+    LOCAL (within-partition) sort + the fused Arrow encode — no global
+    sort (which would add a range exchange) and no second shuffle."""
+    from binlake_spark.streaming.produce import ordered_produce
+
+    df = _prep(spark, tmp_path, n=4000)
+    out = ordered_produce(df, num_partitions=8)
+    plan = _executed(out)
+    n_shuffle = len(re.findall(r"Exchange (?:hash|range|Round)", plan))
+    assert n_shuffle == 1, f"expected exactly one exchange:\n{plan}"
+    assert "rangepartitioning" not in plan, f"global sort leaked in:\n{plan}"
+    # the sort node must be non-global (sortWithinPartitions)
+    m = re.search(r"Sort \[[^\]]*\], (\w+)", plan)
+    assert m and m.group(1) == "false", f"sort is global:\n{plan}"
