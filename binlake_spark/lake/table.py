@@ -300,6 +300,111 @@ class LakeTable:
         return _finish(clean.unionByName(resolved))
 
     # ------------------------------------------------------------------ #
+    # change data feed — incremental read between snapshots
+    # ------------------------------------------------------------------ #
+    def changed_buckets(self, from_version: int, to_version: int | None = None) -> list[int]:
+        """Buckets whose file (or delta) lists differ between the two
+        snapshots — the manifest-level pruning for :meth:`read_changes`.
+
+        Sound because every row mutation rewrites (COW) or appends to
+        (MOR) its bucket's file list in the committing snapshot; a bucket
+        with an identical manifest entry in both versions cannot contain
+        a changed row.  Compaction/expiry may rewrite files without
+        changing rows — that only ever adds false positives (extra scan,
+        empty diff), never misses a change."""
+        a, b = self.snapshot(from_version), self.snapshot(to_version)
+
+        def _sig(snap, bucket):
+            return (
+                snap["files"].get(str(bucket)),
+                (snap.get("deltas") or {}).get(str(bucket)),
+            )
+
+        all_b = {int(k) for k in a["files"]} | {int(k) for k in b["files"]}
+        all_b |= {int(k) for k in (a.get("deltas") or {})}
+        all_b |= {int(k) for k in (b.get("deltas") or {})}
+        return sorted(x for x in all_b if _sig(a, x) != _sig(b, x))
+
+    def read_changes(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Change data feed (Iceberg `changelog scan` / Delta CDF analog —
+        the read-side completion of the reference's produce path: a
+        downstream consumer that can't tail the binlog itself re-derives
+        the row-level changes from committed table versions): the net
+        row-level diff from snapshot ``from_version`` (exclusive baseline)
+        to ``to_version`` (default CURRENT, inclusive).
+
+        Emits one row per changed key with columns of the *to* schema
+        (older snapshots surface later additive columns as NULL), plus:
+
+        - ``_change_op`` — 'I' (key absent at from, present at to),
+          'U' (present in both, per-row ``_seq`` advanced), 'D' (present
+          at from, absent at to; values are the *from*-side row).
+        - ``_seq`` — the LWW version of the emitted row (to-side for
+          I/U, from-side for D).
+
+        A key whose ``_seq`` did not move between the versions is
+        unchanged by LWW definition and is not emitted, even if suffix
+        events for it arrived and lost (retransmits).
+
+        Scale: cost ∝ changed buckets, not table size.  Bucket pruning is
+        manifest-only (:meth:`changed_buckets`, zero data I/O); both sides
+        then scan only those buckets and full-outer join on the key —
+        at 10^10 rows with an epoch dirtying k of B buckets the feed reads
+        2k/B of the table once, with no driver-side row handling."""
+        snap_to = self.snapshot(to_version)
+        to_v = int(snap_to["version"])
+        key = snap_to["key_col"]
+        to_schema = T.StructType.fromJson(snap_to["schema"])
+        data_cols = [f.name for f in to_schema.fields if f.name != key]
+
+        changed = self.changed_buckets(from_version, to_v)
+        sys_cols = ["_seq"]
+        empty_schema = T.StructType(
+            [T.StructField(key, to_schema[key].dataType, True)]
+            + [T.StructField(c, to_schema[c].dataType, True) for c in data_cols]
+            + [T.StructField("_seq", T.LongType(), True)]
+        )
+        if not changed:
+            return spark.createDataFrame([], empty_schema).withColumn(
+                "_change_op", F.lit("U")
+            ).filter(F.lit(False))
+
+        def _side(version: int) -> DataFrame:
+            df = self.read(spark, buckets=changed, with_seq=True, version=version)
+            for f in to_schema.fields:  # additive evolution: old side lacks new cols
+                if f.name not in df.columns:
+                    df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+            return df.select(key, *data_cols, *sys_cols)
+
+        pack = lambda df, n: df.select(  # noqa: E731
+            key, F.struct(*data_cols, *sys_cols).alias(n)
+        )
+        o = pack(_side(int(self.snapshot(from_version)["version"])), "_o")
+        n = pack(_side(to_v), "_n")
+        j = o.join(n, on=key, how="full_outer").filter(
+            F.col("_o").isNull()
+            | F.col("_n").isNull()
+            | (F.col("_o._seq") != F.col("_n._seq"))
+        )
+        side = F.when(F.col("_n").isNotNull(), F.col("_n")).otherwise(F.col("_o"))
+        op = (
+            F.when(F.col("_o").isNull(), F.lit("I"))
+            .when(F.col("_n").isNull(), F.lit("D"))
+            .otherwise(F.lit("U"))
+        )
+        return j.select(
+            key,
+            *[side[c].alias(c) for c in data_cols],
+            side["_seq"].alias("_seq"),
+            op.alias("_change_op"),
+        )
+
+    # ------------------------------------------------------------------ #
     # commit bookkeeping accessors
     # ------------------------------------------------------------------ #
     def last_epoch(self, stream_id: str) -> int:

@@ -992,6 +992,85 @@ def cdc_snapshot_handoff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Change data feed: row-level diff between two committed snapshots.  The
+# oracle recomputes both LWW states from the persisted log (prefix at the
+# epoch-1 cut vs full) and diffs them in SQL: I = key alive only at `to`,
+# D = alive only at `from` (old image), U = alive in both with the winner
+# seq advanced; keys whose winner seq did not move are not changes.
+_CHANGE_FEED_ORACLE_SQL = f"""
+    WITH log AS ({_SHARED_LOG_SQL}),
+    valid AS (
+      SELECT * FROM log
+      WHERE op IN ('I','U','D') AND octet_length(payload) = n_tok * 4
+    ),
+    cut AS (SELECT max(seq) AS c FROM log WHERE epoch_hint <= 1),
+    sa AS (
+      SELECT * FROM (
+        SELECT v.*, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+        FROM valid v WHERE v.seq <= (SELECT c FROM cut)
+      ) WHERE rn = 1 AND op <> 'D'
+    ),
+    sb AS (
+      SELECT * FROM (
+        SELECT v.*, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+        FROM valid v
+      ) WHERE rn = 1 AND op <> 'D'
+    )
+    SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+           CASE WHEN a.doc_id IS NULL THEN 'I'
+                WHEN b.doc_id IS NULL THEN 'D'
+                ELSE 'U' END AS change_op,
+           coalesce(b.seq, a.seq) AS seq,
+           coalesce(b.n_tok, a.n_tok) AS n_tok,
+           coalesce(b.source, a.source) AS source,
+           CASE WHEN b.doc_id IS NULL THEN map_extract(a.extra, 'lang')[1]
+                ELSE map_extract(b.extra, 'lang')[1] END AS lang,
+           md5(array_to_string(
+             CASE WHEN b.doc_id IS NULL THEN a.tokens ELSE b.tokens END, ','
+           )) AS tokens_sig
+    FROM sa a FULL OUTER JOIN sb b ON a.doc_id = b.doc_id
+    WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.seq <> b.seq
+"""
+
+
+@_register("cdc_change_feed", _CHANGE_FEED_ORACLE_SQL)
+def cdc_change_feed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed (Iceberg changelog-scan / Delta CDF analog — the
+    read-side completion of the reference's produce path, for consumers
+    that can't tail the binlog): replay the log prefix (epochs ≤ 1) into
+    version A, the suffix into CURRENT, then emit
+    `LakeTable.read_changes(from_version=A)` — the net I/U/D row diff,
+    manifest-pruned to buckets whose file lists moved.  The cut lands
+    before the mid-stream schema evolution, so D rows (from-side images)
+    carry NULL for the evolved column while I/U rows carry it — the diff
+    crosses the additive-evolution boundary exactly."""
+    import tempfile
+
+    from binlake_spark.changelog.generator import CHANGE_LOG_SCHEMA
+    from binlake_spark.streaming import CdcEngine
+
+    src = _shared_log(sf_dir)
+    log = spark.read.schema(CHANGE_LOG_SCHEMA).parquet(src)
+    cut = int(
+        log.filter(F.col("epoch_hint") <= 1).agg(F.max("seq")).collect()[0][0]
+    )
+    work = tempfile.mkdtemp(prefix="binlake_driver_cdf_")
+    table = CdcEngine.create_table(f"{work}/docs", num_buckets=16)
+    engine = CdcEngine(table)
+    engine.apply_batch(log.filter(F.col("seq") <= cut), epoch_id=0)
+    v_a = int(table.snapshot()["version"])
+    engine.run_batch_replay(spark, src, from_seq=cut + 1)
+    return table.read_changes(spark, from_version=v_a).select(
+        "doc_id",
+        F.col("_change_op").alias("change_op"),
+        F.col("_seq").alias("seq"),
+        "n_tok",
+        "source",
+        "lang",
+        _tokens_sig(),
+    )
+
+
 # --------------------------------------------------------------------- #
 # Multimodal plumbing (binary payload stats)
 # --------------------------------------------------------------------- #
