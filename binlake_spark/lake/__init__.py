@@ -1,4 +1,18 @@
 from binlake_spark.lake.table import LakeTable
-from binlake_spark.lake.merge import compact_buckets, merge_into, merge_into_mor
+from binlake_spark.lake.feed import ChangeFeedReader, FeedBehindRetention
+from binlake_spark.lake.merge import (
+    compact_buckets,
+    merge_into,
+    merge_into_mor,
+    rebucket,
+)
 
-__all__ = ["LakeTable", "compact_buckets", "merge_into", "merge_into_mor"]
+__all__ = [
+    "ChangeFeedReader",
+    "FeedBehindRetention",
+    "LakeTable",
+    "compact_buckets",
+    "merge_into",
+    "merge_into_mor",
+    "rebucket",
+]

@@ -1,0 +1,127 @@
+"""ChangeFeedReader — checkpointed incremental consumption of a LakeTable.
+
+The consumer-side completion of the reference's distribution path: where
+BinLake pushes decoded changes to Kafka consumers (DefaultProducer.java's
+sync send + ack/refcount release), a lake-native consumer *pulls* the
+row-level diff between the last version it committed and CURRENT
+(:meth:`LakeTable.read_changes`) — same delivery contract (at-least-once
+until commit, per-consumer positions), no broker in the path.
+
+Semantics:
+
+- ``poll(spark)`` returns ``(changes_df, cursor)`` — the net I/U/D rows
+  from the committed position to the table's CURRENT version — or ``None``
+  when caught up.  Nothing is acknowledged by polling.
+- ``commit(cursor)`` durably advances the position (atomic tmp+rename,
+  the same publish pattern as table snapshots).  Crash between poll and
+  commit ⇒ the next poll re-delivers the same window: at-least-once, and
+  idempotent downstream because the feed is a *net* diff keyed by the
+  merge key (applying it twice is a no-op upsert).
+- First poll: ``initial="snapshot"`` (default) delivers the whole current
+  table as 'I' rows — the Debezium initial-snapshot analog, pairing with
+  `bootstrap_snapshot` on the write side; ``initial="current"`` starts
+  empty at CURRENT and only ever sees forward changes.
+
+Scale: a poll costs what `read_changes` costs — manifest-pruned to the
+buckets that moved since the committed position; a caught-up poll is one
+snapshot-JSON read, zero Spark jobs.  Retention interplay: the committed
+position must stay within `expire_snapshots` retention; a reader that
+falls behind gets :class:`FeedBehindRetention` and must re-bootstrap
+(``reset()``) rather than silently miss deletes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from binlake_spark.lake.table import LakeTable
+
+FEEDS_DIR = "feeds"
+
+
+class FeedBehindRetention(RuntimeError):
+    """The committed feed position was expired by `expire_snapshots` —
+    the diff base is gone, so deletes since then are unrecoverable.
+    Re-bootstrap with `reset()` (full snapshot re-delivery)."""
+
+
+class ChangeFeedReader:
+    def __init__(
+        self,
+        table: LakeTable,
+        consumer_id: str = "default",
+        checkpoint_dir: str | None = None,
+        initial: str = "snapshot",
+    ):
+        if initial not in ("snapshot", "current"):
+            raise ValueError(f"initial must be 'snapshot' or 'current', got {initial!r}")
+        self.table = table
+        self.consumer_id = consumer_id
+        self.initial = initial
+        base = checkpoint_dir or os.path.join(table.meta_dir, FEEDS_DIR)
+        os.makedirs(base, exist_ok=True)
+        self._path = os.path.join(base, f"{consumer_id}.json")
+
+    # ------------------------------------------------------------------ #
+    def position(self) -> int | None:
+        """Last committed table version, or None before the first commit."""
+        if not os.path.exists(self._path):
+            return None
+        with open(self._path) as f:
+            return int(json.load(f)["version"])
+
+    def commit(self, cursor: int) -> None:
+        """Durably advance the position to ``cursor`` (atomic publish).
+        Refuses to move backwards — replays are requested via `reset()`,
+        never by silently rewinding an acknowledged position."""
+        pos = self.position()
+        if pos is not None and int(cursor) < pos:
+            raise ValueError(f"cursor {cursor} is behind committed position {pos}")
+        tmp = f"{self._path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"version": int(cursor), "consumer_id": self.consumer_id}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._path)
+
+    def reset(self) -> None:
+        """Drop the committed position: the next poll re-bootstraps per
+        ``initial`` (full snapshot re-delivery or skip-to-current)."""
+        if os.path.exists(self._path):
+            os.unlink(self._path)
+
+    # ------------------------------------------------------------------ #
+    def poll(self, spark: SparkSession) -> tuple[DataFrame, int] | None:
+        """Changes since the committed position, or None when caught up."""
+        snap = self.table.snapshot()
+        cur = int(snap["version"])
+        pos = self.position()
+
+        if pos is None:
+            if self.initial == "current":
+                self.commit(cur)  # nothing delivered, so committing is safe
+                return None
+            key = snap["key_col"]
+            df = self.table.read(spark, with_seq=True)
+            data_cols = [c for c in df.columns if c not in (key, "_seq")]
+            return (
+                df.select(
+                    key, *data_cols, "_seq", F.lit("I").alias("_change_op")
+                ),
+                cur,
+            )
+
+        if cur == pos:
+            return None
+        try:
+            return self.table.read_changes(spark, from_version=pos, to_version=cur), cur
+        except FileNotFoundError as e:
+            raise FeedBehindRetention(
+                f"consumer {self.consumer_id!r} is committed at version {pos}, "
+                f"which expire_snapshots has reclaimed: {e}. reset() to "
+                "re-bootstrap from a full snapshot."
+            ) from e

@@ -530,6 +530,79 @@ def compact_buckets(
     return {"compacted_buckets": len(todo), "version": version}
 
 
+def rebucket(
+    spark: SparkSession,
+    table: LakeTable,
+    new_num_buckets: int,
+) -> dict:
+    """Bucket-layout evolution (Iceberg partition-spec evolution analog;
+    the reference's layout is frozen at ``hash & 1023``,
+    IKeyGenerator.java:22 — a real deployment that outgrows its bucket
+    count must redistribute): rewrite the live rows into
+    ``new_num_buckets`` hash buckets in one atomic snapshot.
+
+    At 10^10 rows this is the one full-table shuffle the engine ever
+    performs, and it is *planned*, not incidental: one pass
+    read → repartition(new_b) → bucket-partitioned write, no driver-side
+    rows.  MOR deltas are LWW-folded in transit (the read resolves them),
+    so the new layout starts delta-free.
+
+    The per-bucket retransmit watermarks cannot be carried over exactly —
+    a new bucket draws keys from many old buckets — so every new bucket
+    gets the global **minimum** of the old fences: under-fencing only ever
+    re-admits retransmits, which per-row ``_seq`` LWW absorbs, whereas
+    carrying a too-high fence would silently drop fresh events.  Epoch
+    guards (exactly-once) are unaffected.
+    """
+    snap = table.snapshot()
+    old_b = int(snap["num_buckets"])
+    if int(new_num_buckets) == old_b:
+        return {"rebucketed": False, "version": int(snap["version"])}
+    key = snap["key_col"]
+    version = int(snap["version"]) + 1
+    out_rel = os.path.join("data", f"c{version}")
+    out_dir = os.path.join(table.root, out_rel)
+    (
+        table.read(spark, with_seq=True)
+        .withColumn(
+            "_b", F.pmod(F.hash(F.col(key)), F.lit(int(new_num_buckets))).cast("int")
+        )
+        .repartition(int(new_num_buckets), "_b")
+        .write.mode("overwrite")
+        .partitionBy("_b")
+        .parquet(out_dir)
+    )
+    files: dict[int, list[str]] = {}
+    for b in range(int(new_num_buckets)):
+        paths = sorted(glob.glob(os.path.join(out_dir, f"_b={b}", "*.parquet")))
+        rel = [os.path.relpath(p, table.root) for p in paths]
+        if rel:
+            files[b] = rel
+    old_wms = [int(w) for w in snap["watermarks"].values()]
+    floor_wm = min(old_wms) if old_wms else None
+    snap["version"] = version
+    snap["num_buckets"] = int(new_num_buckets)
+    snap["files"] = {str(b): fl for b, fl in sorted(files.items())}
+    snap["deltas"] = {}
+    snap["watermarks"] = (
+        {str(b): floor_wm for b in sorted(files)} if floor_wm is not None else {}
+    )
+    snap["lineage"].append(
+        {
+            "kind": "rebucket",
+            "version": version,
+            "from_buckets": old_b,
+            "to_buckets": int(new_num_buckets),
+        }
+    )
+    table._write_snapshot(snap)
+    return {
+        "rebucketed": True,
+        "version": version,
+        "num_buckets": int(new_num_buckets),
+    }
+
+
 def bootstrap_snapshot(
     spark: SparkSession,
     table: LakeTable,

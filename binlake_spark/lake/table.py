@@ -311,8 +311,17 @@ class LakeTable:
         with an identical manifest entry in both versions cannot contain
         a changed row.  Compaction/expiry may rewrite files without
         changing rows — that only ever adds false positives (extra scan,
-        empty diff), never misses a change."""
+        empty diff), never misses a change.
+
+        Undefined across a bucket-layout change (``rebucket``): bucket ids
+        are not comparable between different ``num_buckets`` — raises
+        ValueError; :meth:`read_changes` falls back to an unpruned scan."""
         a, b = self.snapshot(from_version), self.snapshot(to_version)
+        if int(a["num_buckets"]) != int(b["num_buckets"]):
+            raise ValueError(
+                "bucket ids are not comparable across a rebucket "
+                f"({a['num_buckets']} -> {b['num_buckets']} buckets)"
+            )
 
         def _sig(snap, bucket):
             return (
@@ -355,21 +364,27 @@ class LakeTable:
         manifest-only (:meth:`changed_buckets`, zero data I/O); both sides
         then scan only those buckets and full-outer join on the key —
         at 10^10 rows with an epoch dirtying k of B buckets the feed reads
-        2k/B of the table once, with no driver-side row handling."""
+        2k/B of the table once, with no driver-side row handling.  Across
+        a ``rebucket`` boundary bucket ids are incomparable, so the feed
+        degrades to an unpruned (still fully correct) two-sided scan."""
         snap_to = self.snapshot(to_version)
         to_v = int(snap_to["version"])
         key = snap_to["key_col"]
         to_schema = T.StructType.fromJson(snap_to["schema"])
         data_cols = [f.name for f in to_schema.fields if f.name != key]
 
-        changed = self.changed_buckets(from_version, to_v)
+        snap_from = self.snapshot(from_version)
+        if int(snap_from["num_buckets"]) != int(snap_to["num_buckets"]):
+            changed: list[int] | None = None  # layout moved: scan both sides fully
+        else:
+            changed = self.changed_buckets(from_version, to_v)
         sys_cols = ["_seq"]
         empty_schema = T.StructType(
             [T.StructField(key, to_schema[key].dataType, True)]
             + [T.StructField(c, to_schema[c].dataType, True) for c in data_cols]
             + [T.StructField("_seq", T.LongType(), True)]
         )
-        if not changed:
+        if changed == []:  # same layout, no manifest entry moved (None = unpruned)
             return spark.createDataFrame([], empty_schema).withColumn(
                 "_change_op", F.lit("U")
             ).filter(F.lit(False))

@@ -151,3 +151,103 @@ def test_change_feed_empty_and_identity(spark, tmp_path):
     v = int(table.snapshot()["version"])
     assert table.changed_buckets(v, v) == []
     assert table.read_changes(spark, from_version=v, to_version=v).count() == 0
+
+
+# --------------------------------------------------------------------- #
+# ChangeFeedReader — checkpointed at-least-once consumption
+# --------------------------------------------------------------------- #
+def test_feed_reader_end_to_end(spark, tmp_path):
+    from binlake_spark.lake import ChangeFeedReader
+
+    pdf = generate_change_log(
+        GenSpec(n_docs=40, n_events=800, retransmit_frac=0.1)
+    )
+    cut = int(pdf["seq"].quantile(0.5))
+    df = _log_df(spark, tmp_path, pdf)
+    table = CdcEngine.create_table(str(tmp_path / "docs"), num_buckets=8)
+    engine = CdcEngine(table)
+    engine.apply_batch(df.filter(F.col("seq") <= cut), epoch_id=0)
+
+    reader = ChangeFeedReader(table, consumer_id="c1")
+    # initial snapshot: whole current table as 'I' rows
+    out, cur = reader.poll(spark)
+    rows = out.collect()
+    assert {r["_change_op"] for r in rows} == {"I"}
+    live_at_cut = {
+        k for k, (op, _) in _expected_diff(pdf[pdf["seq"] <= cut], -1).items()
+        if op == "I"
+    }
+    assert {r["doc_id"] for r in rows} == live_at_cut
+
+    # nothing acked by polling: a crashed consumer re-polls the same window
+    out2, cur2 = reader.poll(spark)
+    assert cur2 == cur and out2.count() == len(rows)
+
+    reader.commit(cur)
+    assert reader.poll(spark) is None  # caught up: zero Spark jobs
+
+    engine.apply_batch(df.filter(F.col("seq") > cut), epoch_id=1)
+    out, cur = reader.poll(spark)
+    got = {r["doc_id"]: (r["_change_op"], int(r["_seq"])) for r in out.collect()}
+    assert got == _expected_diff(pdf, cut)
+    reader.commit(cur)
+    assert reader.poll(spark) is None
+    with pytest.raises(ValueError, match="behind"):
+        reader.commit(cur - 1)
+
+    # a second consumer has its own independent position
+    other = ChangeFeedReader(table, consumer_id="c2")
+    out, _ = other.poll(spark)
+    assert {r["_change_op"] for r in out.collect()} == {"I"}
+
+
+def test_feed_reader_initial_current(spark, tmp_path):
+    from binlake_spark.lake import ChangeFeedReader
+
+    pdf = generate_change_log(GenSpec(n_docs=25, n_events=500))
+    cut = int(pdf["seq"].quantile(0.5))
+    df = _log_df(spark, tmp_path, pdf)
+    table = CdcEngine.create_table(str(tmp_path / "docs"), num_buckets=4)
+    engine = CdcEngine(table)
+    engine.apply_batch(df.filter(F.col("seq") <= cut), epoch_id=0)
+
+    reader = ChangeFeedReader(table, consumer_id="tail", initial="current")
+    assert reader.poll(spark) is None  # skips history
+    assert reader.position() == int(table.snapshot()["version"])
+
+    engine.apply_batch(df.filter(F.col("seq") > cut), epoch_id=1)
+    out, cur = reader.poll(spark)
+    got = {r["doc_id"]: (r["_change_op"], int(r["_seq"])) for r in out.collect()}
+    assert got == _expected_diff(pdf, cut)
+
+
+def test_feed_reader_behind_retention(spark, tmp_path):
+    from binlake_spark.lake import ChangeFeedReader, FeedBehindRetention
+
+    pdf = generate_change_log(GenSpec(n_docs=25, n_events=600))
+    thirds = pdf["seq"].quantile([0.33, 0.66]).astype(int).tolist()
+    df = _log_df(spark, tmp_path, pdf)
+    table = CdcEngine.create_table(str(tmp_path / "docs"), num_buckets=4)
+    engine = CdcEngine(table, expire_every=None)
+    engine.apply_batch(df.filter(F.col("seq") <= thirds[0]), epoch_id=0)
+
+    reader = ChangeFeedReader(table, consumer_id="slow", initial="current")
+    reader.poll(spark)  # commits at current
+
+    engine.apply_batch(
+        df.filter((F.col("seq") > thirds[0]) & (F.col("seq") <= thirds[1])),
+        epoch_id=1,
+    )
+    engine.apply_batch(df.filter(F.col("seq") > thirds[1]), epoch_id=2)
+    table.expire_snapshots(keep_last=1)  # reclaims the reader's base
+
+    with pytest.raises(FeedBehindRetention, match="re-bootstrap"):
+        reader.poll(spark)
+
+    reader.reset()
+    reader2 = ChangeFeedReader(table, consumer_id="slow")  # snapshot mode
+    out, cur = reader2.poll(spark)
+    final_live = {
+        k for k, (op, _) in _expected_diff(pdf, -1).items() if op == "I"
+    }
+    assert {r["doc_id"] for r in out.collect()} == final_live
