@@ -125,3 +125,82 @@ class ChangeFeedReader:
                 f"which expire_snapshots has reclaimed: {e}. reset() to "
                 "re-bootstrap from a full snapshot."
             ) from e
+
+    def poll_for_merge(self, spark: SparkSession) -> tuple[DataFrame, int] | None:
+        """:meth:`poll`, with D rows re-stamped for a downstream MERGE.
+
+        The feed's D rows carry the *preimage* ``_seq`` (the CDF
+        contract), which would tie — and lose — a strict ``seq > _seq``
+        LWW against the destination's copy of that very row.  The true
+        tombstone seq is not retained by the source (the key is simply
+        absent at `to`), but it is bracketed: from-window max <
+        tombstone ≤ hi, where hi is the to-snapshot's max applied
+        watermark.  Re-stamping deletes at ``hi`` is sound: ahead of the
+        preimage row (LWW win), still ahead of the destination's
+        per-bucket retransmit fence on first delivery (dst watermarks ≤
+        from-window max < hi), and behind every event of later windows;
+        on redelivery the fence correctly absorbs the already-applied
+        delete."""
+        polled = self.poll(spark)
+        if polled is None:
+            return None
+        out, cur = polled
+        hi = max(
+            (int(v) for v in (self.table.snapshot(cur).get("watermarks") or {}).values()),
+            default=-1,
+        )
+        if hi >= 0:
+            out = out.withColumn(
+                "_seq",
+                F.when(F.col("_change_op") == "D", F.lit(hi)).otherwise(F.col("_seq")),
+            )
+        return out, cur
+
+    # ------------------------------------------------------------------ #
+    def apply_to(self, spark: SparkSession, dst: LakeTable):
+        """Replicate one feed window into another LakeTable — lake→lake
+        downstream replication, the consumer side of the reference's
+        multi-topic distribution but with the lake as the transport.
+
+        One call = poll → align ``dst``'s schema (additive, mirrors the
+        source's evolution) → MERGE the window as a keyed net diff
+        (I/U upsert, D tombstone, LWW on the feed's ``_seq``) → advance
+        the consumer position.  Returns the MergeResult, or None when
+        caught up.
+
+        Exactly-once downstream: the position commits only *after* the
+        merge's snapshot commit.  A crash between the two redelivers the
+        window, which re-merges under a fresh epoch as the same keyed
+        net diff — per-row ``_seq`` LWW makes the re-apply a no-op, so
+        the destination converges to the identical state (verified in
+        tests/test_change_feed.py replication tests).  Delete ordering
+        across the strict-LWW merge is handled by
+        :meth:`poll_for_merge`'s tombstone re-stamp."""
+        from binlake_spark.lake.merge import merge_into
+
+        polled = self.poll_for_merge(spark)
+        if polled is None:
+            return None
+        out, cur = polled
+
+        dst_have = {f.name for f in dst.schema().fields}
+        missing = [
+            (f.name, f.dataType.simpleString())
+            for f in out.schema.fields
+            if f.name not in dst_have and f.name not in ("_seq", "_change_op")
+        ]
+        if missing:
+            dst.add_columns(missing)
+
+        stream_id = f"feed:{self.consumer_id}"
+        res = merge_into(
+            spark,
+            dst,
+            out,
+            epoch_id=dst.last_epoch(stream_id) + 1,
+            stream_id=stream_id,
+            seq_col="_seq",
+            op_col="_change_op",
+        )
+        self.commit(cur)
+        return res

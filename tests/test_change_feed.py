@@ -251,3 +251,155 @@ def test_feed_reader_behind_retention(spark, tmp_path):
         k for k, (op, _) in _expected_diff(pdf, -1).items() if op == "I"
     }
     assert {r["doc_id"] for r in out.collect()} == final_live
+
+
+def test_feed_reader_materializes_exact_state_under_redelivery(spark, tmp_path):
+    """A consumer applying polled windows as idempotent upserts — with
+    deliberate crash/redelivery (poll without commit, then poll again) —
+    must converge to the exact source-table state: at-least-once delivery
+    of a *net keyed diff* composes to exactly-once materialization."""
+    from binlake_spark.lake import ChangeFeedReader
+
+    pdf = generate_change_log(
+        GenSpec(n_docs=50, n_events=1200, events_per_epoch=300,
+                retransmit_frac=0.1, evolution_at=600)
+    )
+    df = _log_df(spark, tmp_path, pdf)
+    table = CdcEngine.create_table(str(tmp_path / "docs"), num_buckets=8)
+    engine = CdcEngine(table)
+    reader = ChangeFeedReader(table, consumer_id="mat")
+
+    materialized: dict[str, tuple] = {}
+
+    def apply_window(out):
+        for r in out.collect():
+            if r["_change_op"] == "D":
+                materialized.pop(r["doc_id"], None)
+            else:
+                materialized[r["doc_id"]] = (
+                    tuple(r["tokens"]), r["n_tok"], r["source"], int(r["_seq"])
+                )
+
+    epochs = sorted(pdf["epoch_hint"].unique())
+    for i, ep in enumerate(epochs):
+        engine.apply_batch(df.filter(F.col("epoch_hint") == int(ep)), epoch_id=i)
+        polled = reader.poll(spark)
+        assert polled is not None
+        out, cur = polled
+        apply_window(out)
+        if i % 2 == 0:
+            # crash before commit: the window redelivers; applying it twice
+            # must be a no-op (keyed net diff)
+            out2, cur2 = reader.poll(spark)
+            assert cur2 == cur
+            apply_window(out2)
+        reader.commit(cur)
+
+    src = {
+        r["doc_id"]: (tuple(r["tokens"]), r["n_tok"], r["source"], int(r["_seq"]))
+        for r in table.read(spark, with_seq=True).collect()
+    }
+    assert materialized == src
+
+
+def test_change_feed_lifecycle_edges(spark, tmp_path):
+    """Hand-built event sequences crossing the cut:
+    - key created after the cut then deleted before `to`  -> not emitted
+    - key deleted before the cut, reinserted after        -> I
+    - key alive at cut, deleted and reinserted in suffix  -> U (net)
+    - key whose suffix events all lose LWW to the prefix  -> not emitted
+    """
+    import numpy as np
+    import pandas as pd
+
+    def ev(seq, op, doc, toks):
+        t = np.asarray(toks, dtype=np.int32)
+        return {
+            "seq": seq, "server_uuid": "s0", "gno": seq, "trx_id": seq,
+            "ts": pd.Timestamp("2026-01-01") + pd.Timedelta(seconds=seq),
+            "op": op, "doc_id": doc, "tokens": t, "n_tok": len(t),
+            "source": "web", "payload": t.astype("<i4").tobytes(),
+            "before_payload": None, "schema_ver": 0,
+            "extra": [], "epoch_hint": 0 if seq <= 100 else 1,
+        }
+
+    events = [
+        # ephemeral: born and dies inside the suffix
+        ev(10, "I", "stay", [1, 2]), ev(110, "I", "eph", [3]), ev(120, "D", "eph", [3]),
+        # deleted pre-cut, reborn post-cut -> I
+        ev(20, "I", "reborn", [4]), ev(30, "D", "reborn", [4]), ev(130, "I", "reborn", [5, 6]),
+        # alive at cut, delete+reinsert in suffix -> net U with new image
+        ev(40, "I", "churn", [7]), ev(140, "D", "churn", [7]), ev(150, "I", "churn", [8, 9]),
+        # suffix arrivals that LOSE LWW (retransmit of an old seq) -> no change
+        ev(50, "U", "stale", [10, 11]), ev(50, "U", "stale", [10, 11]),
+    ]
+    # deliver the second retransmit LATE (epoch 1) with its original seq:
+    # it must lose LWW against the already-applied winner and not be a change
+    events[-1]["epoch_hint"] = 1
+    pdf = pd.DataFrame(events)
+
+    df = _log_df(spark, tmp_path, pdf)
+    table = CdcEngine.create_table(str(tmp_path / "docs"), num_buckets=8)
+    engine = CdcEngine(table)
+    engine.apply_batch(df.filter(F.col("epoch_hint") == 0), epoch_id=0)
+    v_a = int(table.snapshot()["version"])
+    engine.apply_batch(df.filter(F.col("epoch_hint") == 1), epoch_id=1)
+
+    got = {
+        r["doc_id"]: (r["_change_op"], int(r["_seq"]), tuple(r["tokens"]))
+        for r in table.read_changes(spark, from_version=v_a).collect()
+    }
+    assert got == {
+        "reborn": ("I", 130, (5, 6)),
+        "churn": ("U", 150, (8, 9)),
+    }
+
+
+def test_feed_replication_lake_to_lake(spark, tmp_path):
+    """apply_to replicates A -> B across epochs (incl. schema evolution),
+    and a crash between B's merge commit and the position commit re-merges
+    the same window idempotently — B converges to A exactly."""
+    from binlake_spark.lake import ChangeFeedReader, LakeTable, merge_into
+
+    pdf = generate_change_log(
+        GenSpec(n_docs=40, n_events=1000, events_per_epoch=250,
+                retransmit_frac=0.1, evolution_at=500)
+    )
+    df = _log_df(spark, tmp_path, pdf)
+    src_table = CdcEngine.create_table(str(tmp_path / "src"), num_buckets=8)
+    engine = CdcEngine(src_table)
+    dst = LakeTable.create(
+        str(tmp_path / "dst"),
+        schema=src_table.schema(),
+        key_col="doc_id",
+        num_buckets=4,  # destination layout is independent of the source's
+    )
+    reader = ChangeFeedReader(src_table, consumer_id="repl")
+
+    def state(t):
+        return {
+            r["doc_id"]: (tuple(r["tokens"]), r["n_tok"], r["source"], int(r["_seq"]))
+            for r in t.read(spark, with_seq=True).collect()
+        }
+
+    epochs = sorted(pdf["epoch_hint"].unique())
+    for i, ep in enumerate(epochs):
+        engine.apply_batch(df.filter(F.col("epoch_hint") == int(ep)), epoch_id=i)
+        if i == 1:
+            # crash path: merge the window into dst but die before the
+            # position commit — the next apply_to redelivers and re-merges
+            out, _cur = reader.poll_for_merge(spark)
+            merge_into(
+                spark, dst, out,
+                epoch_id=dst.last_epoch("feed:repl") + 1, stream_id="feed:repl",
+                seq_col="_seq", op_col="_change_op",
+            )
+        res = reader.apply_to(spark, dst)
+        assert res is not None and res.applied
+        assert state(dst) == state(src_table)  # in lockstep every epoch
+
+    assert reader.apply_to(spark, dst) is None  # caught up
+    # evolution propagated additively
+    assert {f.name for f in dst.schema().fields} == {
+        f.name for f in src_table.schema().fields
+    }

@@ -146,3 +146,37 @@ def test_ordered_produce_single_exchange_local_sort(spark, tmp_path):
     # the sort node must be non-global (sortWithinPartitions)
     m = re.search(r"Sort \[[^\]]*\], (\w+)", plan)
     assert m and m.group(1) == "false", f"sort is global:\n{plan}"
+
+
+def test_change_feed_scans_only_changed_bucket_files(spark, tmp_path):
+    """read_changes must read exactly the changed bucket's files from the
+    two snapshots — manifest pruning visible at the FileScan level, not
+    just in the result."""
+    import os
+
+    pdf = generate_change_log(GenSpec(n_docs=60, n_events=1200))
+    one = pdf["doc_id"].iloc[0]
+    for name, part in [("p", pdf[pdf["doc_id"] != one]), ("s", pdf[pdf["doc_id"] == one])]:
+        write_change_log(part, str(tmp_path / f"log_{name}"))
+    table = CdcEngine.create_table(str(tmp_path / "docs"), num_buckets=8)
+    engine = CdcEngine(table)
+    engine.apply_batch(
+        spark.read.schema(CHANGE_LOG_SCHEMA).parquet(str(tmp_path / "log_p")), epoch_id=0
+    )
+    v_a = int(table.snapshot()["version"])
+    engine.apply_batch(
+        spark.read.schema(CHANGE_LOG_SCHEMA).parquet(str(tmp_path / "log_s")), epoch_id=1
+    )
+
+    changed = table.changed_buckets(v_a)
+    assert len(changed) == 1
+    b = str(changed[0])
+    allowed = set()
+    for v in (v_a, int(table.snapshot()["version"])):
+        snap = table.snapshot(v)
+        for p in snap["files"].get(b, []) + (snap.get("deltas") or {}).get(b, []):
+            allowed.add(os.path.join(table.root, p))
+
+    feed = table.read_changes(spark, from_version=v_a)
+    scanned = {f.replace("file://", "").replace("file:", "") for f in feed.inputFiles()}
+    assert scanned and scanned <= allowed
