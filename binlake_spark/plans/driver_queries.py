@@ -26,6 +26,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 Query = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, Query] = {}
@@ -1913,6 +1914,84 @@ def cdc_produce_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ordered_produce(log, num_partitions=16, portable=True).select(
         "pt", "emit_idx", "key", "seq"
     )
+
+
+@_register(
+    "cdc_proto_roundtrip",
+    f"""
+    SELECT doc_id,
+           CASE op WHEN 'I' THEN 1 WHEN 'U' THEN 2 WHEN 'D' THEN 3 END
+             AS event_type,
+           md5(array_to_string(tokens, ',')) AS tokens_sig,
+           n_tok, source
+    FROM '{_ORACLE_LOG_BASE}/sf0.01/log/*.parquet'
+    """,
+)
+def cdc_proto_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's primary output format, end to end: change-log rows
+    → WaveEntry packets (`encode_entries`: RowChange/RowData/Column per
+    entry.proto, 10 KiB row-boundary splits — ProtobufConverter.java:
+    549-729) → an independent distributed decode pass re-reads every
+    packet's column cells.  The oracle computes the same row content
+    straight from the log in SQL, so a hash match proves the protobuf
+    wire encoding and the packet assembly preserve every event's key,
+    op, token text, and metadata exactly — the produce-path analog of
+    the Avro envelope check, on the format the reference actually ships.
+    No collects; both passes are mapInArrow over partition batches."""
+    import pyarrow as pa
+
+    from binlake_spark.changelog.generator import CHANGE_LOG_SCHEMA
+    from binlake_spark.functions.proto_codec import decode_message, encode_entries
+
+    src = _shared_log(sf_dir)
+    log = spark.read.schema(CHANGE_LOG_SCHEMA).parquet(src)
+    packets = encode_entries(
+        log.select("op", "doc_id", "tokens", "n_tok", "source", "seq")
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("event_type", T.IntegerType()),
+            T.StructField("tokens_sig", T.StringType()),
+            T.StructField("n_tok", T.IntegerType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+
+    def unpack(batches):
+        import hashlib
+
+        for b in batches:
+            d = b.to_pydict()
+            doc, et, sig, ntok, srcs = [], [], [], [], []
+            for eb in d["entry"]:
+                entry = decode_message("Entry", bytes(eb))
+                rc = decode_message("RowChange", entry["storeValue"])
+                for rd in rc.get("rowDatas", []):
+                    cols = rd.get("afterColumns") or rd.get("beforeColumns")
+                    byname = {c["name"]: c for c in cols}
+                    doc.append(byname["doc_id"].get("value"))
+                    et.append(rc["eventType"])
+                    tok = byname["tokens"].get("value")
+                    sig.append(
+                        None if tok is None else hashlib.md5(tok.encode()).hexdigest()
+                    )
+                    nt = byname["n_tok"].get("value")
+                    ntok.append(None if nt is None else int(nt))
+                    srcs.append(byname["source"].get("value"))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(doc, type=pa.string()),
+                    pa.array(et, type=pa.int32()),
+                    pa.array(sig, type=pa.string()),
+                    pa.array(ntok, type=pa.int32()),
+                    pa.array(srcs, type=pa.string()),
+                ],
+                names=["doc_id", "event_type", "tokens_sig", "n_tok", "source"],
+            )
+
+    return packets.mapInArrow(unpack, out_schema)
 
 
 @_register(

@@ -51,14 +51,24 @@ def ordered_produce(
     key_col: str = "doc_id",
     seq_col: str = "seq",
     portable: bool = False,
+    format: str = "avro",
 ) -> DataFrame:
-    """Emit (pt, emit_idx, key, seq, avro) produce records, per-key
+    """Emit (pt, emit_idx, key, seq, value) produce records, per-key
     ordered within each partition.  ``emit_idx`` is the physical emission
     counter (see module doc) — dense 0..n-1 per partition in the actual
-    row order the producer would see."""
+    row order the producer would see.
+
+    ``format``: ``"avro"`` (envelope record, column ``avro``) or
+    ``"proto"`` (one WaveEntry per row, column ``entry`` — the
+    reference's BUSINESS_KEY_ORDER dispatch requires the per-row
+    converter, MQRule.java:216-222 → formatByOneRow)."""
     import pyarrow as pa
 
     from binlake_spark.functions.avro_codec import ENVELOPE_SCHEMA, encode
+
+    if format not in ("avro", "proto"):
+        raise ValueError(f"format must be 'avro' or 'proto', got {format!r}")
+    val_col = "avro" if format == "avro" else "entry"
 
     clustered = (
         df.withColumn("pt", partition_for_key(key_col, num_partitions, portable))
@@ -72,9 +82,39 @@ def ordered_produce(
             T.StructField("emit_idx", T.LongType(), False),
             T.StructField("key", T.StringType(), False),
             T.StructField(seq_col, T.LongType(), False),
-            T.StructField("avro", T.BinaryType(), False),
+            T.StructField(val_col, T.BinaryType(), False),
         ]
     )
+
+    def _encode_row(d, i, n):
+        if format == "avro":
+            rec = {
+                "seq": d[seq_col][i],
+                "doc_id": d[key_col][i],
+                "op": d.get("op", ["?"] * n)[i],
+                "n_tok": d.get("n_tok", [None] * n)[i],
+                "payload": d.get("payload", [None] * n)[i],
+                "extra": d.get("extra", [None] * n)[i],
+            }
+            if isinstance(rec["extra"], list):
+                rec["extra"] = dict(rec["extra"])
+            return encode(ENVELOPE_SCHEMA, rec)
+        from binlake_spark.functions.proto_codec import pack_entries
+
+        tokens = d.get("tokens", [None] * n)[i]
+        if tokens is None and d.get("payload", [None] * n)[i] is not None:
+            import numpy as np
+
+            tokens = np.frombuffer(d["payload"][i], dtype="<i4").tolist()
+        row = {
+            "op": d.get("op", ["I"] * n)[i],
+            "doc_id": d[key_col][i],
+            "tokens": tokens,
+            "n_tok": d.get("n_tok", [None] * n)[i],
+            "source": d.get("source", [None] * n)[i],
+            "seq": d[seq_col][i],
+        }
+        return pack_entries([row], max_packet_size=0)[0][2]
 
     def fn(batches):
         # per (Spark-)partition physical counters, one per pt value:
@@ -90,17 +130,7 @@ def ordered_produce(
                 pt = d["pt"][i]
                 idxs.append(counters.get(pt, 0))
                 counters[pt] = idxs[-1] + 1
-                rec = {
-                    "seq": d[seq_col][i],
-                    "doc_id": d[key_col][i],
-                    "op": d.get("op", ["?"] * n)[i],
-                    "n_tok": d.get("n_tok", [None] * n)[i],
-                    "payload": d.get("payload", [None] * n)[i],
-                    "extra": d.get("extra", [None] * n)[i],
-                }
-                if isinstance(rec["extra"], list):
-                    rec["extra"] = dict(rec["extra"])
-                vals.append(encode(ENVELOPE_SCHEMA, rec))
+                vals.append(_encode_row(d, i, n))
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(d["pt"], type=pa.int32()),
@@ -109,7 +139,7 @@ def ordered_produce(
                     pa.array(d[seq_col], type=pa.int64()),
                     pa.array(vals, type=pa.binary()),
                 ],
-                names=["pt", "emit_idx", "key", seq_col, "avro"],
+                names=["pt", "emit_idx", "key", seq_col, val_col],
             )
 
     return clustered.mapInArrow(fn, out_schema)

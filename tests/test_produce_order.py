@@ -58,3 +58,38 @@ def test_partition_for_key_portable_matches_md5(spark):
     for r in got:
         want = int(hashlib.md5(r.doc_id.encode()).hexdigest()[:15], 16) % 16
         assert r.pt == want
+
+
+def test_ordered_produce_proto_format(spark):
+    """format='proto': same ordering contract, value = one WaveEntry per
+    row (the per-row converter BUSINESS_KEY_ORDER requires); packets
+    decode back to the source rows."""
+    from binlake_spark.changelog.generator import GenSpec, generate_change_log
+    from binlake_spark.functions.proto_codec import decode_message
+
+    pdf = generate_change_log(GenSpec(n_docs=20, n_events=300))
+    df = spark.createDataFrame(pdf)
+    out = ordered_produce(df, num_partitions=4, format="proto").collect()
+    assert len(out) == len(pdf)
+
+    by_pt: dict[int, list] = {}
+    for r in out:
+        by_pt.setdefault(r.pt, []).append(r)
+    for pt, rows in by_pt.items():
+        rows.sort(key=lambda r: r.emit_idx)
+        seqs = [r.seq for r in rows]
+        assert seqs == sorted(seqs), f"partition {pt} emitted out of order"
+
+    want = {
+        (int(t.seq), t.doc_id, ",".join(map(str, t.tokens)) if t.tokens is not None else None)
+        for t in pdf.itertuples()
+    }
+    got = set()
+    for r in out:
+        entry = decode_message("Entry", bytes(r.entry))
+        rc = decode_message("RowChange", entry["storeValue"])
+        (rd,) = rc["rowDatas"]
+        cols = rd.get("afterColumns") or rd.get("beforeColumns")
+        byname = {c["name"]: c for c in cols}
+        got.add((int(r.seq), byname["doc_id"]["value"], byname["tokens"].get("value")))
+    assert got == want
