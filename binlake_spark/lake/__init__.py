@@ -1,5 +1,6 @@
 from binlake_spark.lake.table import LakeTable
 from binlake_spark.lake.feed import ChangeFeedReader, FeedBehindRetention
+from binlake_spark.lake.ivm import FeedAggregate
 from binlake_spark.lake.merge import (
     compact_buckets,
     merge_into,
@@ -9,6 +10,7 @@ from binlake_spark.lake.merge import (
 
 __all__ = [
     "ChangeFeedReader",
+    "FeedAggregate",
     "FeedBehindRetention",
     "LakeTable",
     "compact_buckets",

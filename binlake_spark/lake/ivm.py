@@ -1,0 +1,206 @@
+"""Incremental view maintenance (IVM) over the change data feed.
+
+A downstream consumer that keeps a GROUP-BY aggregate of the CDC table
+current *without rescanning it*: each feed window's I/U/D rows become
+additive deltas (+post for inserts, +post − pre for updates, −pre for
+deletes — updates use the feed's ``_pre`` image, so groups that a row
+*moves between* are both adjusted), merged into a persisted state table.
+This is the materialized-view half of the reference's consumer story:
+BinLake's MQ consumers typically maintain exactly such rollups by
+re-applying row changes; here the lake itself is the transport
+(LakeTable.read_changes) and the maintenance is pure DataFrame algebra.
+
+Exactly-once without a second log: the aggregate state and the consumed
+feed position publish in ONE atomic rename (state parquet written first,
+then the marker JSON that names it).  A crash anywhere before the
+publish leaves the previous state+position pair intact; the re-run
+recomputes the identical window deterministically.  This is the same
+commit pattern as LakeTable snapshots.
+
+Scale posture: a refresh costs one change-feed read (manifest-pruned to
+moved buckets) plus a shuffle sized to |changed rows| and a merge sized
+to |groups| — never the table.  At 10^10 rows with thousands of groups,
+state stays tiny and the window cost tracks the epoch's write rate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from binlake_spark.lake.table import LakeTable
+
+_KEEP_STATES = 2  # previous state retained for crash-window readers
+
+
+class FeedAggregate:
+    """A persisted ``GROUP BY group_cols`` rollup maintained from the
+    change feed.
+
+    ``sums`` maps output column name → SQL expression over the table's
+    data columns (evaluated on both pre- and post-images); a ``n_rows``
+    count column is always maintained.  Sum expressions are maintained in
+    BIGINT (exact under incremental +/-); fractional rollups should scale
+    to integers first (floating sums would drift across windows).  Groups whose ``n_rows`` reaches
+    zero are dropped (sum-of-deltas would otherwise pin empty groups)."""
+
+    def __init__(
+        self,
+        table: LakeTable,
+        path: str,
+        group_cols: list[str],
+        sums: dict[str, str] | None = None,
+    ):
+        self.table = table
+        self.path = path
+        self.group_cols = list(group_cols)
+        self.sums = dict(sums or {})
+        if not self.group_cols:
+            raise ValueError("group_cols must be non-empty")
+        os.makedirs(path, exist_ok=True)
+        self._marker = os.path.join(path, "CURRENT.json")
+
+    # ------------------------------------------------------------------ #
+    def _state(self) -> dict | None:
+        if not os.path.exists(self._marker):
+            return None
+        with open(self._marker) as f:
+            return json.load(f)
+
+    def position(self) -> int | None:
+        """Feed version the current state reflects (None = never built)."""
+        st = self._state()
+        return None if st is None else int(st["feed_version"])
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """The current rollup: (group_cols..., n_rows, <sums...>)."""
+        st = self._state()
+        if st is None:
+            raise FileNotFoundError(f"no published state under {self.path}")
+        return spark.read.parquet(os.path.join(self.path, st["state_dir"]))
+
+    # ------------------------------------------------------------------ #
+    def _deltas(self, changes: DataFrame) -> DataFrame:
+        """I/U/D feed rows → signed group contributions."""
+        post_cols = [F.col(c) for c in self.group_cols]
+        pre_cols = [F.col(f"_pre.{c}") for c in self.group_cols]
+
+        def contrib(cols, sign, img):
+            sel = [c.alias(g) for c, g in zip(cols, self.group_cols)]
+            sel.append(F.lit(sign).cast("long").alias("_d_rows"))
+            for name, expr in self.sums.items():
+                e = F.expr(expr) if img == "post" else F.expr(
+                    _rewrite_pre(expr, self.table)
+                )
+                sel.append(
+                    (F.lit(sign) * F.coalesce(e.cast("long"), F.lit(0))).alias(
+                        f"_d_{name}"
+                    )
+                )
+            return sel
+
+        post = changes.filter(F.col("_change_op").isin("I", "U")).select(
+            *contrib(post_cols, 1, "post")
+        )
+        # D rows carry the preimage at top level; U preimages live in _pre
+        dele = changes.filter(F.col("_change_op") == "D").select(
+            *contrib(post_cols, -1, "post")
+        )
+        upd_pre = changes.filter(F.col("_change_op") == "U").select(
+            *contrib(pre_cols, -1, "pre")
+        )
+        return post.unionByName(dele).unionByName(upd_pre)
+
+    def _aggregate(self, contributions: DataFrame) -> DataFrame:
+        aggs = [F.sum("_d_rows").alias("n_rows")] + [
+            F.sum(f"_d_{name}").alias(name) for name in self.sums
+        ]
+        return contributions.groupBy(*self.group_cols).agg(*aggs)
+
+    def refresh(self, spark: SparkSession) -> bool:
+        """Advance the rollup by one feed window.  Returns False when
+        already caught up.  First call bootstraps from the full current
+        table (the feed's initial-snapshot analog)."""
+        st = self._state()
+        snap = self.table.snapshot()
+        cur = int(snap["version"])
+
+        if st is None:
+            base = self.table.read(spark)
+            sel = [F.lit(1).cast("long").alias("_d_rows")] + [
+                F.col(c).alias(c) for c in self.group_cols
+            ]
+            for name, expr in self.sums.items():
+                sel.append(F.coalesce(F.expr(expr).cast("long"), F.lit(0)).alias(f"_d_{name}"))
+            new_state = self._aggregate(base.select(*sel))
+            self._publish(spark, new_state, state_no=0, feed_version=cur)
+            return True
+
+        pos = int(st["feed_version"])
+        if cur == pos:
+            return False
+        changes = self.table.read_changes(
+            spark, from_version=pos, to_version=cur, with_preimage=True
+        )
+        window = self._aggregate(self._deltas(changes))
+        old = self.read(spark)
+        merged = (
+            old.unionByName(window)
+            .groupBy(*self.group_cols)
+            .agg(
+                F.sum("n_rows").alias("n_rows"),
+                *[F.sum(name).alias(name) for name in self.sums],
+            )
+            .filter(F.col("n_rows") > 0)
+        )
+        self._publish(spark, merged, state_no=int(st["state_no"]) + 1, feed_version=cur)
+        return True
+
+    # ------------------------------------------------------------------ #
+    def _publish(self, spark, df: DataFrame, state_no: int, feed_version: int):
+        """Write the state, then atomically publish state+position as one
+        marker (the snapshot commit pattern — crash before the rename
+        leaves the previous pair fully intact)."""
+        state_dir = f"state.v{state_no}"
+        full = os.path.join(self.path, state_dir)
+        if os.path.exists(full):  # crashed previous attempt: rebuild
+            shutil.rmtree(full)
+        df.coalesce(1).write.mode("overwrite").parquet(full)
+        tmp = f"{self._marker}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"state_no": state_no, "state_dir": state_dir, "feed_version": feed_version},
+                f,
+            )
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._marker)
+        # GC states older than the retained window
+        for name in os.listdir(self.path):
+            if name.startswith("state.v"):
+                no = int(name.split("v", 1)[1])
+                if no <= state_no - _KEEP_STATES:
+                    shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+
+
+def _rewrite_pre(expr: str, table: LakeTable) -> str:
+    """Rewrite a sum expression to read the `_pre` image: every data
+    column reference becomes ``_pre.<col>``.  Token-level textual rewrite
+    over the table's known column names (expressions here are simple
+    arithmetic over columns; names are word-delimited)."""
+    import re
+
+    key = table.snapshot()["key_col"]  # key is top-level on both sides
+    cols = sorted(
+        (f.name for f in table.schema().fields if f.name != key),
+        key=len,
+        reverse=True,
+    )
+    out = expr
+    for c in cols:
+        out = re.sub(rf"\b{re.escape(c)}\b", f"_pre.{c}", out)
+    return out

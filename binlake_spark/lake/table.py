@@ -339,6 +339,7 @@ class LakeTable:
         spark: SparkSession,
         from_version: int,
         to_version: int | None = None,
+        with_preimage: bool = False,
     ) -> DataFrame:
         """Change data feed (Iceberg `changelog scan` / Delta CDF analog —
         the read-side completion of the reference's produce path: a
@@ -359,6 +360,13 @@ class LakeTable:
         A key whose ``_seq`` did not move between the versions is
         unchanged by LWW definition and is not emitted, even if suffix
         events for it arrived and lost (retransmits).
+
+        ``with_preimage=True`` adds a ``_pre`` struct column carrying the
+        *from*-side image of the data columns (the Delta CDF
+        update_preimage analog): populated for U rows, NULL for I, and
+        redundant-but-populated for D (whose top-level values already
+        are the preimage).  Incremental view maintenance needs it —
+        an aggregate delta for an update is f(post) − f(pre).
 
         Scale: cost ∝ changed buckets, not table size.  Bucket pruning is
         manifest-only (:meth:`changed_buckets`, zero data I/O); both sides
@@ -385,9 +393,23 @@ class LakeTable:
             + [T.StructField("_seq", T.LongType(), True)]
         )
         if changed == []:  # same layout, no manifest entry moved (None = unpruned)
-            return spark.createDataFrame([], empty_schema).withColumn(
+            empty = spark.createDataFrame([], empty_schema).withColumn(
                 "_change_op", F.lit("U")
-            ).filter(F.lit(False))
+            )
+            if with_preimage:
+                empty = empty.withColumn(
+                    "_pre",
+                    F.lit(None).cast(
+                        T.StructType(
+                            [
+                                T.StructField(c, to_schema[c].dataType, True)
+                                for c in data_cols
+                            ]
+                            + [T.StructField("_seq", T.LongType(), True)]
+                        )
+                    ),
+                )
+            return empty.filter(F.lit(False))
 
         def _side(version: int) -> DataFrame:
             df = self.read(spark, buckets=changed, with_seq=True, version=version)
@@ -412,12 +434,15 @@ class LakeTable:
             .when(F.col("_n").isNull(), F.lit("D"))
             .otherwise(F.lit("U"))
         )
-        return j.select(
+        out_cols = [
             key,
             *[side[c].alias(c) for c in data_cols],
             side["_seq"].alias("_seq"),
             op.alias("_change_op"),
-        )
+        ]
+        if with_preimage:
+            out_cols.append(F.col("_o").alias("_pre"))
+        return j.select(*out_cols)
 
     # ------------------------------------------------------------------ #
     # commit bookkeeping accessors

@@ -1072,6 +1072,65 @@ def cdc_change_feed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Incremental view maintenance: the rollup is maintained ONLY from
+# per-epoch change-feed deltas (never a rescan), so matching the oracle's
+# from-scratch GROUP BY over the final LWW state proves the delta algebra
+# (+post / +post−pre / −pre, group moves included) is exact across every
+# window boundary.
+_IVM_ORACLE_SQL = f"""
+    WITH log AS ({_SHARED_LOG_SQL}),
+    valid AS (
+      SELECT * FROM log
+      WHERE op IN ('I','U','D') AND octet_length(payload) = n_tok * 4
+    ),
+    final AS (
+      SELECT * FROM (
+        SELECT v.*, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+        FROM valid v
+      ) WHERE rn = 1 AND op <> 'D'
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS sum_n_tok
+    FROM final GROUP BY source
+"""
+
+
+@_register("cdc_ivm_rollup", _IVM_ORACLE_SQL)
+def cdc_ivm_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance over the change feed (FeedAggregate):
+    replay the shared log epoch by epoch, refreshing a per-source
+    (n_rows, sum_n_tok) rollup after every epoch purely from that
+    window's I/U/D deltas with preimages — the lake-transport analog of a
+    BinLake MQ consumer maintaining a materialized rollup.  The oracle
+    recomputes the same rollup from scratch over the final LWW state, so
+    a hash match proves the incremental algebra converged exactly through
+    inserts, in-place updates, deletes, and retransmission noise."""
+    import tempfile
+
+    from binlake_spark.changelog.generator import CHANGE_LOG_SCHEMA
+    from binlake_spark.lake import FeedAggregate
+    from binlake_spark.streaming import CdcEngine
+
+    src = _shared_log(sf_dir)
+    log = spark.read.schema(CHANGE_LOG_SCHEMA).parquet(src)
+    work = tempfile.mkdtemp(prefix="binlake_driver_ivm_")
+    table = CdcEngine.create_table(f"{work}/docs", num_buckets=16)
+    engine = CdcEngine(table)
+    agg = FeedAggregate(table, f"{work}/rollup", ["source"], {"sum_n_tok": "n_tok"})
+    epochs = [
+        int(r[0])
+        for r in log.select("epoch_hint").distinct().orderBy("epoch_hint").collect()
+    ]
+    for i, ep in enumerate(epochs):
+        engine.apply_batch(log.filter(F.col("epoch_hint") == ep), epoch_id=i)
+        agg.refresh(spark)
+    return agg.read(spark).select(
+        "source",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("sum_n_tok").cast("long").alias("sum_n_tok"),
+    )
+
+
 # --------------------------------------------------------------------- #
 # Multimodal plumbing (binary payload stats)
 # --------------------------------------------------------------------- #

@@ -1,0 +1,173 @@
+"""Incremental view maintenance over the change feed: the rollup must
+track a from-scratch recompute exactly across epochs (inserts, updates
+with changed sums, deletes, group moves), survive crash-before-publish,
+and never rescan the base table on refresh."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from binlake_spark.changelog.generator import (
+    CHANGE_LOG_SCHEMA,
+    GenSpec,
+    generate_change_log,
+    write_change_log,
+)
+from binlake_spark.lake import FeedAggregate
+from binlake_spark.streaming import CdcEngine
+
+
+def _log_df(spark, tmp_path, pdf, sub="log"):
+    write_change_log(pdf, str(tmp_path / sub))
+    return spark.read.schema(CHANGE_LOG_SCHEMA).parquet(str(tmp_path / sub))
+
+
+def _recompute(spark, table):
+    return {
+        tuple(r)
+        for r in table.read(spark)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("sum_n_tok"),
+        )
+        .collect()
+    }
+
+
+def test_ivm_tracks_recompute_across_epochs(spark, tmp_path):
+    pdf = generate_change_log(
+        GenSpec(n_docs=60, n_events=1500, events_per_epoch=300,
+                retransmit_frac=0.1, evolution_at=750)
+    )
+    df = _log_df(spark, tmp_path, pdf)
+    table = CdcEngine.create_table(str(tmp_path / "docs"), num_buckets=8)
+    engine = CdcEngine(table)
+    agg = FeedAggregate(
+        table, str(tmp_path / "ivm"), ["source"], {"sum_n_tok": "n_tok"}
+    )
+
+    epochs = sorted(pdf["epoch_hint"].unique())
+    for i, ep in enumerate(epochs):
+        engine.apply_batch(df.filter(F.col("epoch_hint") == int(ep)), epoch_id=i)
+        assert agg.refresh(spark) is True
+        got = {tuple(r) for r in agg.read(spark).collect()}
+        assert got == _recompute(spark, table), f"diverged at epoch {i}"
+
+    assert agg.refresh(spark) is False  # caught up
+
+
+def test_ivm_group_moves_and_deletes(spark, tmp_path):
+    """Hand-built sequence: an update that MOVES a row between groups
+    must adjust both groups; deleting a group's last row drops it."""
+
+    def ev(seq, op, doc, toks, source):
+        t = np.asarray(toks, dtype=np.int32)
+        return {
+            "seq": seq, "server_uuid": "s0", "gno": seq, "trx_id": seq,
+            "ts": pd.Timestamp("2026-01-01") + pd.Timedelta(seconds=seq),
+            "op": op, "doc_id": doc, "tokens": t, "n_tok": len(t),
+            "source": source, "payload": t.astype("<i4").tobytes(),
+            "before_payload": None, "schema_ver": 0,
+            "extra": [], "epoch_hint": 0 if seq <= 100 else 1,
+        }
+
+    events = [
+        ev(10, "I", "a", [1, 2], "web"),
+        ev(20, "I", "b", [3], "web"),
+        ev(30, "I", "c", [4, 5, 6], "books"),
+        # epoch 1: move `a` web -> books with a new size; delete `c`
+        # (books' last original row); touch `b` in place
+        ev(110, "U", "a", [7, 7, 7, 7], "books"),
+        ev(120, "D", "c", [4, 5, 6], "books"),
+        ev(130, "U", "b", [8, 9], "web"),
+    ]
+    pdf = pd.DataFrame(events)
+    df = _log_df(spark, tmp_path, pdf)
+    table = CdcEngine.create_table(str(tmp_path / "docs"), num_buckets=4)
+    engine = CdcEngine(table)
+    agg = FeedAggregate(
+        table, str(tmp_path / "ivm"), ["source"], {"sum_n_tok": "n_tok"}
+    )
+
+    engine.apply_batch(df.filter(F.col("epoch_hint") == 0), epoch_id=0)
+    agg.refresh(spark)
+    assert {tuple(r) for r in agg.read(spark).collect()} == {
+        ("web", 2, 3), ("books", 1, 3),
+    }
+
+    engine.apply_batch(df.filter(F.col("epoch_hint") == 1), epoch_id=1)
+    agg.refresh(spark)
+    # web: only b (2 tok); books: only a (4 tok) — c's delete removed the
+    # last original books row, a's move re-populated the group
+    assert {tuple(r) for r in agg.read(spark).collect()} == {
+        ("web", 1, 2), ("books", 1, 4),
+    }
+
+
+def test_ivm_crash_before_publish_is_idempotent(spark, tmp_path):
+    pdf = generate_change_log(
+        GenSpec(n_docs=30, n_events=600, events_per_epoch=300, retransmit_frac=0.1)
+    )
+    df = _log_df(spark, tmp_path, pdf)
+    table = CdcEngine.create_table(str(tmp_path / "docs"), num_buckets=4)
+    engine = CdcEngine(table)
+    agg = FeedAggregate(
+        table, str(tmp_path / "ivm"), ["source"], {"sum_n_tok": "n_tok"}
+    )
+    engine.apply_batch(df.filter(F.col("epoch_hint") == 0), epoch_id=0)
+    agg.refresh(spark)
+
+    engine.apply_batch(df.filter(F.col("epoch_hint") == 1), epoch_id=1)
+    # simulate a crash: state parquet written but marker never published —
+    # emulate by pre-creating the next state dir with garbage
+    import os
+    nxt = os.path.join(str(tmp_path / "ivm"), "state.v1")
+    os.makedirs(nxt, exist_ok=True)
+    with open(os.path.join(nxt, "junk"), "w") as f:
+        f.write("partial write from a dead run")
+
+    assert agg.refresh(spark) is True  # rebuilds v1 from scratch
+    assert {tuple(r) for r in agg.read(spark).collect()} == _recompute(spark, table)
+
+
+def test_ivm_refresh_does_not_rescan_base_table(spark, tmp_path):
+    """The refresh plan must read only the changed buckets' files (via
+    the feed) and the old state — never the full base table."""
+    import os
+
+    pdf = generate_change_log(GenSpec(n_docs=60, n_events=1200))
+    one = pdf["doc_id"].iloc[0]
+    table = CdcEngine.create_table(str(tmp_path / "docs"), num_buckets=8)
+    engine = CdcEngine(table)
+    engine.apply_batch(
+        _log_df(spark, tmp_path, pdf[pdf["doc_id"] != one], "log_p"), epoch_id=0
+    )
+    agg = FeedAggregate(
+        table, str(tmp_path / "ivm"), ["source"], {"sum_n_tok": "n_tok"}
+    )
+    agg.refresh(spark)
+    v_a = int(table.snapshot()["version"])
+    engine.apply_batch(
+        _log_df(spark, tmp_path, pdf[pdf["doc_id"] == one], "log_s"), epoch_id=1
+    )
+
+    changed = table.changed_buckets(v_a)
+    assert len(changed) == 1
+    allowed = set()
+    for v in (v_a, int(table.snapshot()["version"])):
+        snap = table.snapshot(v)
+        b = str(changed[0])
+        for p in snap["files"].get(b, []) + (snap.get("deltas") or {}).get(b, []):
+            allowed.add(os.path.join(table.root, p))
+    # old state files are legitimate inputs too
+    st = agg.read(spark)
+    allowed |= {f.replace("file://", "").replace("file:", "") for f in st.inputFiles()}
+
+    changes = table.read_changes(spark, from_version=v_a, with_preimage=True)
+    window = agg._aggregate(agg._deltas(changes))
+    merged = st.unionByName(window).groupBy("source").agg(
+        F.sum("n_rows").alias("n_rows"), F.sum("sum_n_tok").alias("sum_n_tok")
+    )
+    scanned = {f.replace("file://", "").replace("file:", "") for f in merged.inputFiles()}
+    assert scanned and scanned <= allowed
