@@ -299,6 +299,48 @@ class LakeTable:
         )
         return _finish(clean.unionByName(resolved))
 
+    def lookup(
+        self,
+        spark: SparkSession,
+        keys: list,
+        version: int | None = None,
+        with_seq: bool = False,
+    ) -> DataFrame:
+        """Point lookup: the current rows for an explicit key set, pruned
+        twice — bucket-level (each key hashes to exactly one storage
+        bucket, so only those buckets' files are listed at all) and
+        row-group-level (the ``isin`` predicate pushes into the parquet
+        scan, so footer min/max skips row groups inside each file).
+
+        The key→bucket mapping is computed with the SAME JVM expression
+        the writer uses (Murmur3 ``pmod`` — a Python reimplementation
+        could silently diverge), over a driver-local keys DataFrame; the
+        collected bucket ids are metadata-sized (≤ |keys|).
+
+        Scale: k keys in a B-bucket, 10^10-row table read ≤ k buckets
+        (≤ k/B of the table) and within them only matching row groups —
+        never a full scan.  MOR buckets resolve their deltas as in
+        :meth:`read`."""
+        snap = self.snapshot(version)
+        key = snap["key_col"]
+        num_buckets = int(snap["num_buckets"])
+        schema = T.StructType.fromJson(snap["schema"])
+        if not keys:
+            return self.read(spark, buckets=[], with_seq=with_seq, version=version)
+        kdf = spark.createDataFrame(
+            [(k,) for k in keys],
+            T.StructType([T.StructField(key, schema[key].dataType)]),
+        )
+        buckets = sorted(
+            r[0]
+            for r in kdf.select(_bucket_expr(key, num_buckets).alias("b"))
+            .distinct()
+            .collect()
+        )
+        return self.read(
+            spark, buckets=buckets, with_seq=with_seq, version=version
+        ).filter(F.col(key).isin(list(keys)))
+
     # ------------------------------------------------------------------ #
     # change data feed — incremental read between snapshots
     # ------------------------------------------------------------------ #

@@ -951,6 +951,60 @@ def cdc_engine_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_POINT_LOOKUP_ORACLE_SQL = f"""
+    WITH log AS ({_SHARED_LOG_SQL}),
+    valid AS (
+      SELECT * FROM log
+      WHERE op IN ('I','U','D') AND octet_length(payload) = n_tok * 4
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+      FROM valid
+    ),
+    final AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'D'),
+    probe AS (
+      SELECT DISTINCT doc_id FROM log ORDER BY doc_id LIMIT 25
+    )
+    SELECT f.doc_id, f.n_tok, f.source,
+           md5(array_to_string(f.tokens, ',')) AS tokens_sig
+    FROM final f JOIN probe p USING (doc_id)
+"""
+
+
+@_register("cdc_point_lookup", _POINT_LOOKUP_ORACLE_SQL)
+def cdc_point_lookup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-pruned point lookup: replay the shared log into a table,
+    then `LakeTable.lookup` of a deterministic 25-key probe set (the 25
+    lexicographically-first doc_ids — some of which are deleted by the
+    log's tombstones and must NOT appear).  The lookup lists only the
+    probe keys' bucket files (key→bucket via the writer's own Murmur3
+    expression) and pushes the `isin` predicate into the parquet scan;
+    the oracle joins the same probe set against an independent LWW
+    replay, so the hash match proves the pruned path returns exactly the
+    full-scan answer."""
+    import tempfile
+
+    from binlake_spark.streaming import CdcEngine
+
+    src = _shared_log(sf_dir)
+    work = tempfile.mkdtemp(prefix="binlake_driver_lkp_")
+    table = CdcEngine.create_table(f"{work}/docs", num_buckets=16)
+    engine = CdcEngine(table)
+    engine.run_batch_replay(spark, src)
+    keys = [
+        r[0]
+        for r in spark.read.parquet(src)
+        .select("doc_id")
+        .distinct()
+        .orderBy("doc_id")
+        .limit(25)
+        .collect()
+    ]
+    return table.lookup(spark, keys).select(
+        "doc_id", "n_tok", "source", _tokens_sig()
+    )
+
+
 @_register("cdc_snapshot_handoff", _REPLAY_ORACLE_SQL)
 def cdc_snapshot_handoff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot bootstrap + incremental handoff (the JDBC initial-load /
