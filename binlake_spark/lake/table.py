@@ -52,6 +52,7 @@ from pyspark.sql import types as T
 META_DIR = "_meta"
 DATA_DIR = "data"
 CURRENT = "CURRENT"
+TAGS_DIR = "tags"
 LINEAGE_LOG = "lineage.jsonl"
 # lineage entries kept inside the snapshot itself; older entries roll to
 # an append-only side log so the per-commit snapshot write stays O(1) in
@@ -117,8 +118,15 @@ class LakeTable:
     def exists(cls, root: str) -> bool:
         return os.path.exists(os.path.join(root, META_DIR, CURRENT))
 
-    def snapshot(self, version: int | None = None) -> dict[str, Any]:
-        """Current snapshot, or a specific published version (time travel)."""
+    def snapshot(self, version: int | str | None = None) -> dict[str, Any]:
+        """Current snapshot, or a specific published version (time
+        travel).  A string ``version`` resolves through the named tags
+        (:meth:`tag` — Iceberg snapshot-ref analog)."""
+        if isinstance(version, str):
+            tags = self.tags()
+            if version not in tags:
+                raise FileNotFoundError(f"tag {version!r} does not exist")
+            version = tags[version]
         if version is None:
             with open(os.path.join(self.meta_dir, CURRENT)) as f:
                 version = int(f.read().strip())
@@ -637,6 +645,48 @@ class LakeTable:
     # ------------------------------------------------------------------ #
     # maintenance
     # ------------------------------------------------------------------ #
+    # ------------------------------------------------------------------ #
+    # tags — named snapshot refs (Iceberg tag analog)
+    # ------------------------------------------------------------------ #
+    def tag(self, name: str, version: int | None = None, replace: bool = False):
+        """Pin a published snapshot under a name (Iceberg's snapshot tags):
+        readable via ``read(version="<name>")`` and exempt from
+        ``expire_snapshots`` until dropped.  Refuses to move an existing
+        tag unless ``replace=True`` (a silently moving ref breaks any
+        reader that resolved it earlier)."""
+        if not name or "/" in name or name.startswith("."):
+            raise ValueError(f"invalid tag name {name!r}")
+        v = int(self.snapshot(version)["version"])
+        tdir = os.path.join(self.meta_dir, TAGS_DIR)
+        os.makedirs(tdir, exist_ok=True)
+        path = os.path.join(tdir, f"{name}.json")
+        if os.path.exists(path) and not replace:
+            raise FileExistsError(f"tag {name!r} already exists (replace=True to move)")
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"name": name, "version": v}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+        return v
+
+    def drop_tag(self, name: str) -> None:
+        path = os.path.join(self.meta_dir, TAGS_DIR, f"{name}.json")
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"tag {name!r} does not exist")
+        os.unlink(path)
+
+    def tags(self) -> dict[str, int]:
+        tdir = os.path.join(self.meta_dir, TAGS_DIR)
+        out: dict[str, int] = {}
+        if os.path.isdir(tdir):
+            for fn in os.listdir(tdir):
+                if fn.endswith(".json") and ".tmp." not in fn:
+                    with open(os.path.join(tdir, fn)) as f:
+                        t = json.load(f)
+                    out[t["name"]] = int(t["version"])
+        return out
+
     def expire_snapshots(self, keep_last: int = 2) -> dict[str, int]:
         """Iceberg's ``expire_snapshots`` analog: drop snapshot metadata
         older than the newest ``keep_last`` versions and delete data files
@@ -653,6 +703,12 @@ class LakeTable:
         keep = [v for v in self.versions() if v <= current][-max(1, keep_last):]
         if current not in keep:
             keep.append(current)
+        # tagged snapshots are pinned (Iceberg: refs block expiry)
+        for v in set(self.tags().values()):
+            if v not in keep and os.path.exists(
+                os.path.join(self.meta_dir, f"v{v}.json")
+            ):
+                keep.append(v)
         reachable: set[str] = set()
         for v in keep:
             snap = self.snapshot(v)

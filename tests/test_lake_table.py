@@ -321,3 +321,36 @@ def test_lookup_resolves_mor_deltas(spark, tmp_path):
     )
     out = {r.doc_id: r.tokens for r in t.lookup(spark, ["a"]).collect()}
     assert out == {"a": [7, 8]}  # delta wins LWW through the lookup path
+
+
+def test_tags_pin_snapshots_and_block_expiry(spark, tmp_path):
+    """Iceberg snapshot-tag analog: a named ref reads the pinned version
+    through every read path, survives expire_snapshots, and refuses to
+    move silently."""
+    t = LakeTable.create(str(tmp_path / "t"), SCHEMA, "doc_id", num_buckets=4)
+    merge_into(spark, t, _net(spark, [("a", 1, "I", [1], 1, "web")]), epoch_id=0)
+    t.tag("baseline")
+    v_tag = t.tags()["baseline"]
+
+    for i in range(1, 5):
+        merge_into(
+            spark, t, _net(spark, [("a", i + 1, "U", [i] * i, i, "web")]), epoch_id=i
+        )
+
+    # tag reads resolve to the pinned version via read()/snapshot()
+    assert [r.tokens for r in t.read(spark, version="baseline").collect()] == [[1]]
+    assert int(t.snapshot("baseline")["version"]) == v_tag
+
+    # expiry keeps the tagged snapshot alive while dropping untagged ones
+    res = t.expire_snapshots(keep_last=1)
+    assert res["snapshots_removed"] > 0
+    assert [r.tokens for r in t.read(spark, version="baseline").collect()] == [[1]]
+
+    # moving a tag requires replace=True; dropping unpins it
+    with pytest.raises(FileExistsError):
+        t.tag("baseline")
+    t.tag("baseline", replace=True)  # now at CURRENT
+    assert t.tags()["baseline"] == int(t.snapshot()["version"])
+    t.drop_tag("baseline")
+    with pytest.raises(FileNotFoundError):
+        t.snapshot("baseline")
