@@ -342,6 +342,9 @@ def row_to_rowdata(op, doc_id, tokens, n_tok, source, before_tokens=None) -> dic
     }
 
 
+_ROWDATAS_TAG = 12 << 3 | 2  # RowChange.rowDatas, length-delimited
+
+
 def pack_entries(
     rows: list[dict],
     *,
@@ -352,36 +355,26 @@ def pack_entries(
     table_name: str = "documents",
     ip: str = "spark",
     max_packet_size: int = MAX_PACKET_SIZE,
-) -> list[tuple[bytes, int, bytes]]:
-    """Pack rows (dicts with op/doc_id/tokens/n_tok/source/seq/ts/
-    before_tokens) into Entry packets: consecutive same-op runs share a
-    RowChange, which splits at ``max_packet_size`` on row boundaries.
+) -> list[tuple[bytes, int, int, bytes]]:
+    """Pack rows (dicts with op/doc_id/tokens/n_tok/source/seq/sql/
+    before_tokens) into Entry packets: consecutive same-op I/U/D runs
+    share a RowChange, which splits at ``max_packet_size`` on row
+    boundaries; any other op (QUERY/DDL, e.g. the generator's 'Q' rows)
+    becomes its own ``RowChange{isDdl, sql}`` packet with no row images
+    (formatQuery, ProtobufConverter.java:170-211).
 
-    Returns [(key, event_type, entry_bytes)]: key = first doc_id of the
-    packet (the business-key order grade's partition slot)."""
-    out: list[tuple[bytes, int, bytes]] = []
+    Returns [(key, event_type, n_rows, entry_bytes)]: key = first doc_id
+    of the packet (the business-key order grade's partition slot).  Each
+    RowData is encoded exactly once — the cached bytes serve both the
+    size accounting and the final RowChange assembly (the repeated field
+    is appended as raw length-delimited blocks, which the wire format
+    permits in any field order)."""
+    out: list[tuple[bytes, int, int, bytes]] = []
     run: list[dict] = []
-    run_sizes: list[int] = []
+    run_blobs: list[bytes] = []
+    run_size = 0
 
-    def flush():
-        if not run:
-            return
-        first = run[0]
-        et = _OP_TO_EVENT[first["op"]]
-        rc = {
-            "tableId": table_id,
-            "eventType": et,
-            "isDdl": False,
-            "rowDatas": [
-                row_to_rowdata(
-                    r["op"], r["doc_id"], r.get("tokens"), r.get("n_tok"),
-                    r.get("source"), r.get("before_tokens"),
-                )
-                for r in run
-            ],
-        }
-        store = encode_message("RowChange", rc)
-        gtid = first.get("gtid")
+    def entry_for(first: dict, et: int, store: bytes) -> bytes:
         header = {
             "version": 1,
             "logfileName": logfile,
@@ -394,36 +387,69 @@ def pack_entries(
             "eventLength": len(store),
             "eventType": et,
         }
-        if gtid:
-            header["props"] = [{"key": "gtid", "value": gtid}]
-        entry = {
-            "header": header,
-            "entryType": ENTRY_TYPE["ROWDATA"],
-            "storeValue": store,
-            "batchId": int(first.get("seq", 0)),
-            "ip": ip,
-        }
-        out.append((first["doc_id"].encode(), et, encode_message("Entry", entry)))
-        run.clear()
-        run_sizes.clear()
+        if first.get("gtid"):
+            header["props"] = [{"key": "gtid", "value": first["gtid"]}]
+        return encode_message(
+            "Entry",
+            {
+                "header": header,
+                "entryType": ENTRY_TYPE["ROWDATA"],
+                "storeValue": store,
+                "batchId": int(first.get("seq", 0)),
+                "ip": ip,
+            },
+        )
 
-    for r in rows:
-        if run and (r["op"] != run[0]["op"] or sum(run_sizes) > max_packet_size):
-            flush()
-        run.append(r)
-        # account the encoded RowData size (tighter than the reference's
-        # name+type+value heuristic, same split-at-row-boundary contract)
-        run_sizes.append(
-            len(
-                encode_message(
-                    "RowData",
-                    row_to_rowdata(
-                        r["op"], r["doc_id"], r.get("tokens"), r.get("n_tok"),
-                        r.get("source"), r.get("before_tokens"),
-                    ),
-                )
+    def flush():
+        nonlocal run_size
+        if not run:
+            return
+        first = run[0]
+        et = _OP_TO_EVENT[first["op"]]
+        store = bytearray(
+            encode_message(
+                "RowChange", {"tableId": table_id, "eventType": et, "isDdl": False}
             )
         )
+        for blob in run_blobs:  # cached per-row encodings, appended raw
+            _write_varint(store, _ROWDATAS_TAG)
+            _write_varint(store, len(blob))
+            store += blob
+        out.append(
+            (first["doc_id"].encode(), et, len(run), entry_for(first, et, bytes(store)))
+        )
+        run.clear()
+        run_blobs.clear()
+        run_size = 0
+
+    for r in rows:
+        if r["op"] not in _OP_TO_EVENT:  # QUERY/DDL marker row
+            flush()
+            et = EVENT_TYPE["QUERY"]
+            store = encode_message(
+                "RowChange",
+                {
+                    "tableId": table_id,
+                    "eventType": et,
+                    "isDdl": True,
+                    "sql": r.get("sql") or "",
+                    "ddlSchemaName": schema_name,
+                },
+            )
+            out.append(((r.get("doc_id") or "").encode(), et, 0, entry_for(r, et, store)))
+            continue
+        if run and (r["op"] != run[0]["op"] or run_size > max_packet_size):
+            flush()
+        blob = encode_message(
+            "RowData",
+            row_to_rowdata(
+                r["op"], r["doc_id"], r.get("tokens"), r.get("n_tok"),
+                r.get("source"), r.get("before_tokens"),
+            ),
+        )
+        run.append(r)
+        run_blobs.append(blob)
+        run_size += len(blob)
     flush()
     return out
 
@@ -442,34 +468,33 @@ def encode_entries(df: DataFrame, out_col: str = "entry") -> DataFrame:
     def fn(batches):
         for b in batches:
             d = b.to_pydict()
+            n = b.num_rows
             rows = []
-            for i in range(b.num_rows):
-                tokens = d["tokens"][i] if "tokens" in d else None
-                before = d.get("before_tokens", [None] * b.num_rows)[i]
+            for i in range(n):
+                extra = d.get("extra", [None] * n)[i]
+                if isinstance(extra, list):
+                    extra = dict(extra)
+                ts = d.get("ts", [None] * n)[i]
                 rows.append(
                     {
                         "op": d["op"][i],
                         "doc_id": d["doc_id"][i],
-                        "tokens": tokens,
-                        "n_tok": d["n_tok"][i] if "n_tok" in d else None,
-                        "source": d["source"][i] if "source" in d else None,
-                        "before_tokens": before,
-                        "seq": d["seq"][i] if "seq" in d else 0,
+                        "tokens": d.get("tokens", [None] * n)[i],
+                        "n_tok": d.get("n_tok", [None] * n)[i],
+                        "source": d.get("source", [None] * n)[i],
+                        "before_tokens": d.get("before_tokens", [None] * n)[i],
+                        "seq": d.get("seq", [0] * n)[i],
+                        "ts_ms": 0 if ts is None else int(ts.timestamp() * 1000),
+                        "sql": (extra or {}).get("ddl"),
                     }
                 )
             packets = pack_entries(rows)
-            n_rows = []
-            for _, _, eb in packets:
-                rc = decode_message(
-                    "RowChange", decode_message("Entry", eb)["storeValue"]
-                )
-                n_rows.append(len(rc.get("rowDatas", [])))
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array([k for k, _, _ in packets], type=pa.binary()),
-                    pa.array([et for _, et, _ in packets], type=pa.int32()),
-                    pa.array(n_rows, type=pa.int32()),
-                    pa.array([eb for _, _, eb in packets], type=pa.binary()),
+                    pa.array([k for k, _, _, _ in packets], type=pa.binary()),
+                    pa.array([et for _, et, _, _ in packets], type=pa.int32()),
+                    pa.array([nr for _, _, nr, _ in packets], type=pa.int32()),
+                    pa.array([eb for _, _, _, eb in packets], type=pa.binary()),
                 ],
                 names=["key", "event_type", "n_rows", out_col],
             )

@@ -38,7 +38,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from binlake_spark.lake.table import LakeTable
+from binlake_spark.lake.table import LakeTable, _atomic_write_json
 
 FEEDS_DIR = "feeds"
 
@@ -81,12 +81,9 @@ class ChangeFeedReader:
         pos = self.position()
         if pos is not None and int(cursor) < pos:
             raise ValueError(f"cursor {cursor} is behind committed position {pos}")
-        tmp = f"{self._path}.tmp.{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump({"version": int(cursor), "consumer_id": self.consumer_id}, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self._path)
+        _atomic_write_json(
+            self._path, {"version": int(cursor), "consumer_id": self.consumer_id}
+        )
 
     def reset(self) -> None:
         """Drop the committed position: the next poll re-bootstraps per
@@ -95,8 +92,13 @@ class ChangeFeedReader:
             os.unlink(self._path)
 
     # ------------------------------------------------------------------ #
-    def poll(self, spark: SparkSession) -> tuple[DataFrame, int] | None:
-        """Changes since the committed position, or None when caught up."""
+    def poll(
+        self, spark: SparkSession, with_preimage: bool = False
+    ) -> tuple[DataFrame, int] | None:
+        """Changes since the committed position, or None when caught up.
+        ``with_preimage`` passes through to :meth:`LakeTable.read_changes`
+        (the initial-snapshot window has no preimages and emits a NULL
+        ``_pre``)."""
         snap = self.table.snapshot()
         cur = int(snap["version"])
         pos = self.position()
@@ -106,19 +108,31 @@ class ChangeFeedReader:
                 self.commit(cur)  # nothing delivered, so committing is safe
                 return None
             key = snap["key_col"]
-            df = self.table.read(spark, with_seq=True)
+            df = self.table.read(spark, with_seq=True, version=cur)
             data_cols = [c for c in df.columns if c not in (key, "_seq")]
-            return (
-                df.select(
-                    key, *data_cols, "_seq", F.lit("I").alias("_change_op")
-                ),
-                cur,
+            out = df.select(
+                key, *data_cols, "_seq", F.lit("I").alias("_change_op")
             )
+            if with_preimage:
+                from pyspark.sql import types as T
+
+                pre_t = T.StructType(
+                    [out.schema[c] for c in data_cols]
+                    + [T.StructField("_seq", T.LongType(), True)]
+                )
+                out = out.withColumn("_pre", F.lit(None).cast(pre_t))
+            return out, cur
 
         if cur == pos:
             return None
         try:
-            return self.table.read_changes(spark, from_version=pos, to_version=cur), cur
+            return (
+                self.table.read_changes(
+                    spark, from_version=pos, to_version=cur,
+                    with_preimage=with_preimage,
+                ),
+                cur,
+            )
         except FileNotFoundError as e:
             raise FeedBehindRetention(
                 f"consumer {self.consumer_id!r} is committed at version {pos}, "
@@ -127,21 +141,25 @@ class ChangeFeedReader:
             ) from e
 
     def poll_for_merge(self, spark: SparkSession) -> tuple[DataFrame, int] | None:
-        """:meth:`poll`, with D rows re-stamped for a downstream MERGE.
+        """:meth:`poll`, with rows re-stamped for a downstream MERGE.
 
-        The feed's D rows carry the *preimage* ``_seq`` (the CDF
-        contract), which would tie — and lose — a strict ``seq > _seq``
-        LWW against the destination's copy of that very row.  The true
-        tombstone seq is not retained by the source (the key is simply
-        absent at `to`), but it is bracketed: from-window max <
-        tombstone ≤ hi, where hi is the to-snapshot's max applied
-        watermark.  Re-stamping deletes at ``hi`` is sound: ahead of the
-        preimage row (LWW win), still ahead of the destination's
-        per-bucket retransmit fence on first delivery (dst watermarks ≤
-        from-window max < hi), and behind every event of later windows;
-        on redelivery the fence correctly absorbs the already-applied
-        delete."""
-        polled = self.poll(spark)
+        Two CDF-contract seqs would lose a strict ``seq > _seq`` LWW at
+        the destination even though they must apply:
+
+        - **D rows** carry the *preimage* ``_seq`` — a tie against the
+          destination's copy of that very row;
+        - **U rows whose winner seq regressed** (the source admitted a
+          fresh lower-seq event after a delete — legal, the retransmit
+          fence is per-bucket-monotone-opt-in) — an outright loss.
+
+        The true ordering position of either change is not retained by
+        the source, but it is bracketed: from-window max < event ≤ hi,
+        where hi is the to-snapshot's max applied watermark.  Re-stamping
+        at ``hi`` is sound: ahead of anything the destination holds from
+        earlier windows (dst seqs ≤ from-window max < hi) and behind
+        every event of later windows; on redelivery the destination's
+        own LWW absorbs the already-applied change."""
+        polled = self.poll(spark, with_preimage=True)
         if polled is None:
             return None
         out, cur = polled
@@ -150,11 +168,14 @@ class ChangeFeedReader:
             default=-1,
         )
         if hi >= 0:
-            out = out.withColumn(
-                "_seq",
-                F.when(F.col("_change_op") == "D", F.lit(hi)).otherwise(F.col("_seq")),
+            needs_stamp = (F.col("_change_op") == "D") | (
+                (F.col("_change_op") == "U")
+                & (F.col("_pre._seq") >= F.col("_seq"))
             )
-        return out, cur
+            out = out.withColumn(
+                "_seq", F.when(needs_stamp, F.lit(hi)).otherwise(F.col("_seq"))
+            )
+        return out.drop("_pre"), cur
 
     # ------------------------------------------------------------------ #
     def apply_to(self, spark: SparkSession, dst: LakeTable):

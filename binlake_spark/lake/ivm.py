@@ -32,7 +32,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from binlake_spark.lake.table import LakeTable
+from binlake_spark.lake.table import LakeTable, _atomic_write_json
 
 _KEEP_STATES = 2  # previous state retained for crash-window readers
 
@@ -61,6 +61,11 @@ class FeedAggregate:
         self.sums = dict(sums or {})
         if not self.group_cols:
             raise ValueError("group_cols must be non-empty")
+        bad = set(self.sums) & ({"n_rows"} | set(self.group_cols))
+        if bad:
+            raise ValueError(
+                f"sum names {sorted(bad)} collide with n_rows/group columns"
+            )
         os.makedirs(path, exist_ok=True)
         self._marker = os.path.join(path, "CURRENT.json")
 
@@ -76,6 +81,16 @@ class FeedAggregate:
         st = self._state()
         return None if st is None else int(st["feed_version"])
 
+    def reset(self) -> None:
+        """Drop the state and position: the next refresh re-bootstraps
+        from the full current table (the recovery path when the feed
+        position fell behind snapshot retention)."""
+        if os.path.exists(self._marker):
+            os.unlink(self._marker)
+        for name in os.listdir(self.path):
+            if name.startswith("state.v"):
+                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+
     def read(self, spark: SparkSession) -> DataFrame:
         """The current rollup: (group_cols..., n_rows, <sums...>)."""
         st = self._state()
@@ -86,8 +101,14 @@ class FeedAggregate:
     # ------------------------------------------------------------------ #
     def _deltas(self, changes: DataFrame) -> DataFrame:
         """I/U/D feed rows → signed group contributions."""
+        key = self.table.snapshot()["key_col"]
         post_cols = [F.col(c) for c in self.group_cols]
-        pre_cols = [F.col(f"_pre.{c}") for c in self.group_cols]
+        # the merge key is top-level on both sides (and immutable per
+        # row), so a per-key rollup groups on the top-level column; every
+        # other group column reads its update preimage from _pre
+        pre_cols = [
+            F.col(c) if c == key else F.col(f"_pre.{c}") for c in self.group_cols
+        ]
 
         def contrib(cols, sign, img):
             sel = [c.alias(g) for c, g in zip(cols, self.group_cols)]
@@ -130,7 +151,7 @@ class FeedAggregate:
         cur = int(snap["version"])
 
         if st is None:
-            base = self.table.read(spark)
+            base = self.table.read(spark, version=cur)
             sel = [F.lit(1).cast("long").alias("_d_rows")] + [
                 F.col(c).alias(c) for c in self.group_cols
             ]
@@ -143,9 +164,18 @@ class FeedAggregate:
         pos = int(st["feed_version"])
         if cur == pos:
             return False
-        changes = self.table.read_changes(
-            spark, from_version=pos, to_version=cur, with_preimage=True
-        )
+        try:
+            changes = self.table.read_changes(
+                spark, from_version=pos, to_version=cur, with_preimage=True
+            )
+        except FileNotFoundError as e:
+            from binlake_spark.lake.feed import FeedBehindRetention
+
+            raise FeedBehindRetention(
+                f"rollup at {self.path} is committed at version {pos}, which "
+                f"expire_snapshots has reclaimed: {e}. reset() to re-bootstrap "
+                "from the full current table."
+            ) from e
         window = self._aggregate(self._deltas(changes))
         old = self.read(spark)
         merged = (
@@ -170,15 +200,10 @@ class FeedAggregate:
         if os.path.exists(full):  # crashed previous attempt: rebuild
             shutil.rmtree(full)
         df.coalesce(1).write.mode("overwrite").parquet(full)
-        tmp = f"{self._marker}.tmp.{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump(
-                {"state_no": state_no, "state_dir": state_dir, "feed_version": feed_version},
-                f,
-            )
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self._marker)
+        _atomic_write_json(
+            self._marker,
+            {"state_no": state_no, "state_dir": state_dir, "feed_version": feed_version},
+        )
         # GC states older than the retained window
         for name in os.listdir(self.path):
             if name.startswith("state.v"):

@@ -258,7 +258,18 @@ def merge_into(
             merged if bucket_aligned else merged.repartition(max(1, len(dirty)), "_b")
         )
         writer.write.mode("overwrite").partitionBy("_b").parquet(out_dir)
-        metrics = obs.get
+        try:
+            metrics = obs.get
+        except Exception:
+            # a write whose plan is empty (e.g. a delete-only batch that
+            # removes a bucket's last rows) can elide the observe node —
+            # recompute the three counters directly over the persisted net
+            row = applied.agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum((F.col(op_col) != "D").cast("long")).alias("n_upserts"),
+                F.sum((F.col(op_col) == "D").cast("long")).alias("n_deletes"),
+            ).collect()[0]
+            metrics = row.asDict()
         n_net = int(metrics["n_events"] or 0)
 
         # -- 4. per-bucket offsets from parquet footers (metadata only) --- #

@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 from typing import Any
 
@@ -64,6 +65,20 @@ def _bucket_expr(key_col: str, num_buckets: int):
     """Bucket id of a key: pmod(murmur3(key), B) — stable across runs and
     cluster sizes because Spark's ``hash`` is a fixed Murmur3x86_32."""
     return F.pmod(F.hash(F.col(key_col)), F.lit(num_buckets)).cast("int")
+
+
+def _atomic_write_json(path: str, obj) -> None:
+    """Last-writer-wins atomic JSON publish: write+fsync a temp file,
+    then ``os.replace`` — the pointer-update pattern shared by tags, feed
+    cursors, and rollup markers.  (Snapshot version files use the
+    stricter O_EXCL-link commit in ``_write_snapshot`` instead, because
+    there the FIRST writer must win.)"""
+    tmp = f"{path}.tmp.{os.getpid()}.{time.monotonic_ns()}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
 
 
 class CommitConflict(RuntimeError):
@@ -654,7 +669,9 @@ class LakeTable:
         ``expire_snapshots`` until dropped.  Refuses to move an existing
         tag unless ``replace=True`` (a silently moving ref breaks any
         reader that resolved it earlier)."""
-        if not name or "/" in name or name.startswith("."):
+        # names become filenames; ".tmp." would collide with the
+        # in-flight-write filter in tags() and make the tag invisible
+        if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", name) or ".tmp." in name:
             raise ValueError(f"invalid tag name {name!r}")
         v = int(self.snapshot(version)["version"])
         tdir = os.path.join(self.meta_dir, TAGS_DIR)
@@ -662,12 +679,7 @@ class LakeTable:
         path = os.path.join(tdir, f"{name}.json")
         if os.path.exists(path) and not replace:
             raise FileExistsError(f"tag {name!r} already exists (replace=True to move)")
-        tmp = f"{path}.tmp.{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump({"name": name, "version": v}, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, path)
+        _atomic_write_json(path, {"name": name, "version": v})
         return v
 
     def drop_tag(self, name: str) -> None:

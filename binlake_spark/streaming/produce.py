@@ -114,7 +114,7 @@ def ordered_produce(
             "source": d.get("source", [None] * n)[i],
             "seq": d[seq_col][i],
         }
-        return pack_entries([row], max_packet_size=0)[0][2]
+        return pack_entries([row], max_packet_size=0)[0][3]
 
     def fn(batches):
         # per (Spark-)partition physical counters, one per pt value:

@@ -403,3 +403,38 @@ def test_feed_replication_lake_to_lake(spark, tmp_path):
     assert {f.name for f in dst.schema().fields} == {
         f.name for f in src_table.schema().fields
     }
+
+
+def test_feed_replication_survives_seq_regression(spark, tmp_path):
+    """A key whose winning seq REGRESSES at the source (delete, then a
+    fresh lower-seq insert admitted with the fence off) must still
+    replicate: poll_for_merge re-stamps the regressed-U at the window
+    watermark so strict LWW at the destination cannot drop it."""
+    from binlake_spark.lake import ChangeFeedReader, LakeTable, merge_into
+
+    from binlake_spark.streaming.engine import DOCS_SCHEMA
+
+    src = LakeTable.create(str(tmp_path / "src"), schema=DOCS_SCHEMA,
+                           key_col="doc_id", num_buckets=4)
+    dst = LakeTable.create(str(tmp_path / "dst"), schema=DOCS_SCHEMA,
+                           key_col="doc_id", num_buckets=4)
+    reader = ChangeFeedReader(src, consumer_id="regr")
+
+    def net(rows):
+        return spark.createDataFrame(
+            rows,
+            "doc_id string, seq long, op string, tokens array<int>, n_tok int, "
+            "source string",
+        )
+
+    merge_into(spark, src, net([("a", 100, "I", [1, 2], 2, "web")]), epoch_id=0)
+    assert reader.apply_to(spark, dst).applied
+
+    # source: delete at 150, then a FRESH lower-seq insert at 60 (legal —
+    # the retransmit fence is opt-in); the key's winning seq regresses
+    merge_into(spark, src, net([("a", 150, "D", None, None, None)]), epoch_id=1)
+    merge_into(spark, src, net([("a", 60, "I", [9], 1, "books")]), epoch_id=2)
+
+    assert reader.apply_to(spark, dst).applied
+    got = {r.doc_id: (r.tokens, r.source) for r in dst.read(spark).collect()}
+    assert got == {"a": ([9], "books")}  # the regressed image replicated

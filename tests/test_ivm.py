@@ -171,3 +171,64 @@ def test_ivm_refresh_does_not_rescan_base_table(spark, tmp_path):
     )
     scanned = {f.replace("file://", "").replace("file:", "") for f in merged.inputFiles()}
     assert scanned and scanned <= allowed
+
+
+def test_ivm_per_key_rollup_groups_on_merge_key(spark, tmp_path):
+    """group_cols may include the merge key itself (per-doc rollup): the
+    key is top-level on both feed sides, so incremental refresh must not
+    reach into _pre for it."""
+    pdf = generate_change_log(
+        GenSpec(n_docs=20, n_events=400, events_per_epoch=200, retransmit_frac=0.1)
+    )
+    df = _log_df(spark, tmp_path, pdf)
+    table = CdcEngine.create_table(str(tmp_path / "docs"), num_buckets=4)
+    engine = CdcEngine(table)
+    agg = FeedAggregate(
+        table, str(tmp_path / "ivm"), ["doc_id"], {"sum_n_tok": "n_tok"}
+    )
+    for i, ep in enumerate(sorted(pdf["epoch_hint"].unique())):
+        engine.apply_batch(df.filter(F.col("epoch_hint") == int(ep)), epoch_id=i)
+        agg.refresh(spark)
+    got = {(r["doc_id"], r["n_rows"], r["sum_n_tok"]) for r in agg.read(spark).collect()}
+    want = {
+        (r["doc_id"], 1, r["n_tok"])
+        for r in table.read(spark).collect()
+    }
+    assert got == want
+
+
+def test_ivm_behind_retention_raises_and_reset_recovers(spark, tmp_path):
+    from binlake_spark.lake import FeedBehindRetention
+
+    pdf = generate_change_log(
+        GenSpec(n_docs=20, n_events=600, events_per_epoch=200)
+    )
+    df = _log_df(spark, tmp_path, pdf)
+    table = CdcEngine.create_table(str(tmp_path / "docs"), num_buckets=4)
+    engine = CdcEngine(table)
+    agg = FeedAggregate(
+        table, str(tmp_path / "ivm"), ["source"], {"sum_n_tok": "n_tok"}
+    )
+    engine.apply_batch(df.filter(F.col("epoch_hint") == 0), epoch_id=0)
+    agg.refresh(spark)
+    for i, ep in enumerate(sorted(pdf["epoch_hint"].unique())[1:], start=1):
+        engine.apply_batch(df.filter(F.col("epoch_hint") == int(ep)), epoch_id=i)
+    table.expire_snapshots(keep_last=1)  # reclaims the rollup's base
+
+    import pytest
+
+    with pytest.raises(FeedBehindRetention):
+        agg.refresh(spark)
+    agg.reset()
+    assert agg.refresh(spark) is True  # re-bootstraps from the full table
+    assert {tuple(r) for r in agg.read(spark).collect()} == _recompute(spark, table)
+
+
+def test_ivm_rejects_colliding_sum_names(spark, tmp_path):
+    import pytest
+
+    table = CdcEngine.create_table(str(tmp_path / "docs"), num_buckets=4)
+    with pytest.raises(ValueError, match="collide"):
+        FeedAggregate(table, str(tmp_path / "a"), ["source"], {"n_rows": "n_tok"})
+    with pytest.raises(ValueError, match="collide"):
+        FeedAggregate(table, str(tmp_path / "b"), ["source"], {"source": "n_tok"})

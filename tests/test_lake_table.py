@@ -354,3 +354,10 @@ def test_tags_pin_snapshots_and_block_expiry(spark, tmp_path):
     t.drop_tag("baseline")
     with pytest.raises(FileNotFoundError):
         t.snapshot("baseline")
+
+
+def test_tag_rejects_unsafe_names(spark, tmp_path):
+    t = LakeTable.create(str(tmp_path / "t"), SCHEMA, "doc_id", num_buckets=4)
+    for bad in ["", ".hidden", "a/b", "rel.tmp.1", "-x"]:
+        with pytest.raises(ValueError):
+            t.tag(bad)

@@ -198,12 +198,12 @@ def test_pack_splits_at_10k_on_row_boundaries():
     packets = pack_entries(rows)
     assert len(packets) > 1
     total = 0
-    for key, et, eb in packets:
+    for key, et, nr, eb in packets:
         entry = decode_message("Entry", eb)
         assert entry["entryType"] == ENTRY_TYPE["ROWDATA"]
         rc = decode_message("RowChange", entry["storeValue"])
         n = len(rc["rowDatas"])
-        assert n >= 1
+        assert n >= 1 and n == nr
         total += n
         # split happens at the first row boundary after the cap: a packet
         # never exceeds cap + one row's size (rows here ~1 KiB)
@@ -222,7 +222,7 @@ def test_pack_groups_runs_by_op_and_keeps_update_whole():
     ]
     packets = pack_entries(rows)
     kinds = []
-    for _, et, eb in packets:
+    for _, et, _, eb in packets:
         rc = decode_message("RowChange", decode_message("Entry", eb)["storeValue"])
         kinds.append((et, len(rc["rowDatas"])))
         if et == EVENT_TYPE["UPDATE"]:
@@ -300,4 +300,48 @@ def test_pack_per_row_mode():
     rows = [_mk_row(i) for i in range(5)]
     packets = pack_entries(rows, max_packet_size=0)
     assert len(packets) == 5
-    assert [k.decode() for k, _, _ in packets] == [r["doc_id"] for r in rows]
+    assert [k.decode() for k, _, _, _ in packets] == [r["doc_id"] for r in rows]
+
+
+def test_pack_ddl_query_rows():
+    """Non-I/U/D ops become their own RowChange{isDdl, sql} packet with
+    no row images (formatQuery analog), splitting the surrounding runs."""
+    rows = [
+        _mk_row(0, "I"),
+        {"op": "Q", "doc_id": "", "sql": "ALTER TABLE documents ADD COLUMN lang STRING",
+         "seq": 1, "ts_ms": 1700000000000},
+        _mk_row(2, "I"),
+    ]
+    packets = pack_entries(rows)
+    assert [(et, nr) for _, et, nr, _ in packets] == [
+        (EVENT_TYPE["INSERT"], 1), (EVENT_TYPE["QUERY"], 0), (EVENT_TYPE["INSERT"], 1),
+    ]
+    q = decode_message("Entry", packets[1][3])
+    rc = decode_message("RowChange", q["storeValue"])
+    assert rc["isDdl"] is True and rc["sql"].startswith("ALTER TABLE")
+    assert "rowDatas" not in rc
+    assert q["header"]["executeTime"] == 1700000000000
+
+
+def test_encode_entries_populates_execute_time_and_ddl(spark, tmp_path):
+    from binlake_spark.changelog.generator import (
+        CHANGE_LOG_SCHEMA, GenSpec, generate_change_log, write_change_log,
+    )
+    from binlake_spark.functions.proto_codec import encode_entries
+
+    pdf = generate_change_log(
+        GenSpec(n_docs=20, n_events=200, evolution_at=100, ddl_events=True)
+    )
+    write_change_log(pdf, str(tmp_path / "log"))
+    log = spark.read.schema(CHANGE_LOG_SCHEMA).parquet(str(tmp_path / "log"))
+    out = encode_entries(
+        log.select("op", "doc_id", "tokens", "n_tok", "source", "seq", "ts", "extra")
+    ).collect()
+    assert sum(r["n_rows"] for r in out) == log.filter(F.col("op") != "Q").count()
+    qs = [r for r in out if r["event_type"] == EVENT_TYPE["QUERY"]]
+    assert len(qs) == 1
+    rc = decode_message("RowChange", decode_message("Entry", bytes(qs[0]["entry"]))["storeValue"])
+    assert rc["isDdl"] is True and "ADD COLUMN" in rc["sql"].upper()
+    # executeTime carries the event timestamp, not zero
+    some = decode_message("Entry", bytes(out[0]["entry"]))
+    assert some["header"]["executeTime"] > 1_500_000_000_000
