@@ -39,12 +39,7 @@ QUERY_REPS = int(os.environ.get("BINLAKE_BENCH_QUERY_REPS", "2"))
 CDC_REPS = int(os.environ.get("BINLAKE_BENCH_CDC_REPS", "2"))
 
 
-def cpu_probe() -> float:
-    t0 = time.monotonic()
-    acc = 0
-    for i in range(12_000_000):
-        acc += i * i
-    return round(time.monotonic() - t0, 3)
+from bench_util import cpu_probe  # noqa: E402  (shared noise probe)
 
 HEADLINE = [
     "cdc_lww_state",

@@ -82,9 +82,16 @@ class AdminServer:
                             "epochs": snap["epochs"],
                         })
                     elif url.path == "/lineage":
-                        n = int(parse_qs(url.query).get("n", ["20"])[0])
+                        try:
+                            n = int(parse_qs(url.query).get("n", ["20"])[0])
+                        except ValueError:
+                            self._json(400, {"error": "n must be an integer"})
+                            return
+                        # n=0 means zero entries, not all ([-0:] is the
+                        # whole list)
                         self._json(
-                            200, outer.table._all_lineage()[-n:]
+                            200,
+                            outer.table._all_lineage()[-n:] if n > 0 else [],
                         )
                     elif url.path == "/alarms":
                         evs = [] if outer.alarms is None else [

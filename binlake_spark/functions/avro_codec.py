@@ -224,6 +224,25 @@ ENVELOPE_SCHEMA = {
 }
 
 
+def envelope_record(
+    d: dict, i: int, n: int, key_col: str = "doc_id", seq_col: str = "seq"
+) -> dict:
+    """Row i of an Arrow batch pydict → the ENVELOPE_SCHEMA record (the
+    single place the column→record mapping lives; used by both
+    encode_envelopes and streaming/produce.ordered_produce)."""
+    rec = {
+        "seq": d[seq_col][i],
+        "doc_id": d[key_col][i],
+        "op": d.get("op", ["?"] * n)[i],
+        "n_tok": d.get("n_tok", [None] * n)[i],
+        "payload": d.get("payload", [None] * n)[i],
+        "extra": d.get("extra", [None] * n)[i],
+    }
+    if isinstance(rec["extra"], list):  # arrow map -> pairs
+        rec["extra"] = dict(rec["extra"])
+    return rec
+
+
 def encode_envelopes(df: DataFrame, out_col: str = "avro") -> DataFrame:
     """Serialize change-log rows to Avro-binary envelope values in one
     ``mapInArrow`` pass: (seq, doc_id, op, n_tok, payload, extra) →
@@ -237,16 +256,7 @@ def encode_envelopes(df: DataFrame, out_col: str = "avro") -> DataFrame:
             n = b.num_rows
             keys, vals = [], []
             for i in range(n):
-                rec = {
-                    "seq": d["seq"][i],
-                    "doc_id": d["doc_id"][i],
-                    "op": d["op"][i],
-                    "n_tok": d.get("n_tok", [None] * n)[i],
-                    "payload": d.get("payload", [None] * n)[i],
-                    "extra": d.get("extra", [None] * n)[i],
-                }
-                if isinstance(rec["extra"], list):  # arrow map -> pairs
-                    rec["extra"] = dict(rec["extra"])
+                rec = envelope_record(d, i, n)
                 keys.append(rec["doc_id"].encode())
                 vals.append(encode(ENVELOPE_SCHEMA, rec))
             yield pa.RecordBatch.from_arrays(

@@ -254,9 +254,12 @@ def decode_timestamp2(bufs, fsp: int = 6) -> np.ndarray:
     m = np.frombuffer(b"".join(bufs), dtype=np.uint8).reshape(n, width)
     secs = _read_be(m, 0, 4)
     micros = _frac_micros(m, 4, fsp)
-    return (secs * 1_000_000 + micros).astype("timedelta64[us]") + np.datetime64(
+    out = (secs * 1_000_000 + micros).astype("timedelta64[us]") + np.datetime64(
         "1970-01-01", "us"
     )
+    # zero TIMESTAMP → NaT (see decode_timestamp_v0)
+    out[(secs == 0) & (micros == 0)] = np.datetime64("NaT")
+    return out
 
 
 def encode_time2(deltas, fsp: int = 6) -> list[bytes]:
@@ -361,9 +364,14 @@ def decode_timestamp_v0(bufs) -> np.ndarray:
         | (m[:, 2].astype(np.int64) << 16)
         | (m[:, 3].astype(np.int64) << 24)
     )
-    return (secs * 1_000_000).astype("timedelta64[us]") + np.datetime64(
+    out = (secs * 1_000_000).astype("timedelta64[us]") + np.datetime64(
         "1970-01-01", "us"
     )
+    # zero TIMESTAMP ('0000-00-00 00:00:00', stored as 0 epoch seconds —
+    # RowsLogBuffer's TIMESTAMP arm emits the zero literal) → NaT, not a
+    # fabricated 1970-01-01 (module zero-date rule)
+    out[secs == 0] = np.datetime64("NaT")
+    return out
 
 
 def encode_datetime_v0(timestamps) -> list[bytes]:

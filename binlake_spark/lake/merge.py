@@ -595,8 +595,14 @@ def rebucket(
     snap["num_buckets"] = int(new_num_buckets)
     snap["files"] = {str(b): fl for b, fl in sorted(files.items())}
     snap["deltas"] = {}
+    # EVERY new bucket is fenced, including ones the rewrite left empty
+    # (a bucket can be empty because its only keys were deleted — a
+    # retransmitted prefix must still not resurrect them; same rule as
+    # bootstrap_snapshot)
     snap["watermarks"] = (
-        {str(b): floor_wm for b in sorted(files)} if floor_wm is not None else {}
+        {str(b): floor_wm for b in range(int(new_num_buckets))}
+        if floor_wm is not None
+        else {}
     )
     snap["lineage"].append(
         {

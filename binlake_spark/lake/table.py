@@ -486,7 +486,7 @@ class LakeTable:
         pack = lambda df, n: df.select(  # noqa: E731
             key, F.struct(*data_cols, *sys_cols).alias(n)
         )
-        o = pack(_side(int(self.snapshot(from_version)["version"])), "_o")
+        o = pack(_side(int(snap_from["version"])), "_o")
         n = pack(_side(to_v), "_n")
         j = o.join(n, on=key, how="full_outer").filter(
             F.col("_o").isNull()

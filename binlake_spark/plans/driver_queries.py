@@ -859,7 +859,17 @@ def _publish_fixture_dir(base_dir: str, sub: str, tag: str, build_fn) -> str:
         os.symlink(os.path.basename(versioned), swap)
         os.replace(swap, link)
     except OSError:
-        if os.readlink(link) != os.path.basename(versioned):
+        # benign only if a concurrent builder already published the same
+        # target; readlink itself can fail (missing link, real dir) — do
+        # not let that mask the original error, and clean our swap file
+        try:
+            published = os.readlink(link)
+        except OSError:
+            published = None
+        finally:
+            if os.path.lexists(swap):
+                os.unlink(swap)
+        if published != os.path.basename(versioned):
             raise
     return link
 

@@ -88,17 +88,9 @@ def ordered_produce(
 
     def _encode_row(d, i, n):
         if format == "avro":
-            rec = {
-                "seq": d[seq_col][i],
-                "doc_id": d[key_col][i],
-                "op": d.get("op", ["?"] * n)[i],
-                "n_tok": d.get("n_tok", [None] * n)[i],
-                "payload": d.get("payload", [None] * n)[i],
-                "extra": d.get("extra", [None] * n)[i],
-            }
-            if isinstance(rec["extra"], list):
-                rec["extra"] = dict(rec["extra"])
-            return encode(ENVELOPE_SCHEMA, rec)
+            from binlake_spark.functions.avro_codec import envelope_record
+
+            return encode(ENVELOPE_SCHEMA, envelope_record(d, i, n, key_col, seq_col))
         from binlake_spark.functions.proto_codec import pack_entries
 
         tokens = d.get("tokens", [None] * n)[i]

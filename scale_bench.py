@@ -51,13 +51,8 @@ MODE = os.environ.get("BINLAKE_BENCH_ENGINE_MODE", "cow")
 LABEL = os.environ.get("BINLAKE_SCALE_LABEL", "r03")
 
 
-def cpu_probe() -> float:
-    """Fixed single-thread CPU work (~1 s quiet); wall time is the noise marker."""
-    t0 = time.monotonic()
-    acc = 0
-    for i in range(12_000_000):
-        acc += i * i
-    return round(time.monotonic() - t0, 3)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from bench_util import cpu_probe  # noqa: E402  (shared noise probe)
 
 
 def run_once(cpus: int, events: int) -> dict:

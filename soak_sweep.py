@@ -33,12 +33,8 @@ CONFIGS = [
 ]
 
 
-def cpu_probe() -> float:
-    t0 = time.monotonic()
-    acc = 0
-    for i in range(12_000_000):
-        acc += i * i
-    return round(time.monotonic() - t0, 3)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from bench_util import cpu_probe  # noqa: E402  (shared noise probe)
 
 
 def run_once(mode: str, rate: int) -> dict:

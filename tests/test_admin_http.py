@@ -86,3 +86,17 @@ def test_admin_http_contract(spark, tmp_path):
         assert _post(port, "/set-position", {"epoch": 3})[0] == 400
         assert _get(port, "/nope")[0] == 404
         assert _post(port, "/nope", {})[0] == 404
+
+
+def test_lineage_n_zero_and_bad_n(spark, tmp_path):
+    """n=0 returns zero entries (not the whole log via [-0:]); a
+    non-integer n is a 400, not a 500."""
+    from binlake_spark.streaming import CdcEngine
+
+    table = CdcEngine.create_table(str(tmp_path / "docs"), num_buckets=2)
+    with AdminServer(table) as srv:
+        port = srv.port
+        code, lin = _get(port, "/lineage?n=0")
+        assert code == 200 and lin == []
+        code, err = _get(port, "/lineage?n=abc")
+        assert code == 400

@@ -777,3 +777,20 @@ def test_decode_wire_columns_string_charsets(spark):
     assert bytes(rows[0].raw) == b"\x00\xff"
     assert rows[1].zh is None and rows[1].fr == "" and bytes(rows[1].raw) == b""
     assert rows[2].zh == "日志" and rows[2].fr is None and rows[2].raw is None
+
+
+def test_zero_timestamp_decodes_to_nat():
+    """Zero TIMESTAMP ('0000-00-00 00:00:00', 0 epoch seconds on the
+    wire) → NaT in both formats, not a fabricated 1970-01-01 (the
+    module's zero-date rule; the reference emits the zero literal)."""
+    import numpy as np
+
+    from binlake_spark.functions.binlog_decode import (
+        decode_timestamp2,
+        decode_timestamp_v0,
+    )
+
+    v0 = decode_timestamp_v0([b"\x00\x00\x00\x00", (1000).to_bytes(4, "little")])
+    assert np.isnat(v0[0]) and not np.isnat(v0[1])
+    t2 = decode_timestamp2([b"\x00\x00\x00\x00", (1000).to_bytes(4, "big")], fsp=0)
+    assert np.isnat(t2[0]) and not np.isnat(t2[1])

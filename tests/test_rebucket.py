@@ -63,10 +63,15 @@ def test_rebucket_noop_and_watermark_floor(spark, tmp_path):
     assert rebucket(spark, table, 4) == {"rebucketed": False, "version": v}
 
     rebucket(spark, table, 8)
-    new_wms = {int(w) for w in table.snapshot()["watermarks"].values()}
+    snap = table.snapshot()
+    new_wms = {int(w) for w in snap["watermarks"].values()}
     # conservative fence: every new bucket gets the global minimum (under-
     # fencing re-admits retransmits, which per-row _seq LWW absorbs)
     assert new_wms == {min(old_wms)}
+    # ... and EVERY bucket is fenced, including ones the rewrite left
+    # empty — a deleted key's bucket must still reject retransmitted
+    # prefixes (same rule as bootstrap_snapshot)
+    assert set(snap["watermarks"]) == {str(b) for b in range(8)}
 
 
 def test_ingest_continues_after_rebucket(spark, tmp_path):
