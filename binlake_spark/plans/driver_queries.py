@@ -1092,7 +1092,11 @@ _CHANGE_FEED_ORACLE_SQL = f"""
                 ELSE map_extract(b.extra, 'lang')[1] END AS lang,
            md5(array_to_string(
              CASE WHEN b.doc_id IS NULL THEN a.tokens ELSE b.tokens END, ','
-           )) AS tokens_sig
+           )) AS tokens_sig,
+           CASE WHEN a.doc_id IS NOT NULL AND b.doc_id IS NOT NULL
+                THEN a.seq END AS pre_seq,
+           CASE WHEN a.doc_id IS NOT NULL AND b.doc_id IS NOT NULL
+                THEN md5(array_to_string(a.tokens, ',')) END AS pre_tokens_sig
     FROM sa a FULL OUTER JOIN sb b ON a.doc_id = b.doc_id
     WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.seq <> b.seq
 """
@@ -1125,7 +1129,8 @@ def cdc_change_feed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine.apply_batch(log.filter(F.col("seq") <= cut), epoch_id=0)
     v_a = int(table.snapshot()["version"])
     engine.run_batch_replay(spark, src, from_seq=cut + 1)
-    return table.read_changes(spark, from_version=v_a).select(
+    upd = F.col("_change_op") == "U"
+    return table.read_changes(spark, from_version=v_a, with_preimage=True).select(
         "doc_id",
         F.col("_change_op").alias("change_op"),
         F.col("_seq").alias("seq"),
@@ -1133,6 +1138,18 @@ def cdc_change_feed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "lang",
         _tokens_sig(),
+        # update preimages (Delta-CDF update_preimage analog): only U rows
+        # carry them in the CDF contract (D rows' top-level values ARE the
+        # preimage; I rows have none)
+        F.when(upd, F.col("_pre._seq")).alias("pre_seq"),
+        F.when(
+            upd,
+            F.md5(
+                F.expr(
+                    "array_join(transform(_pre.tokens, x -> cast(x as string)), ',')"
+                )
+            ),
+        ).alias("pre_tokens_sig"),
     )
 
 
