@@ -2530,3 +2530,194 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+# --------------------------------------------------------------------- #
+# Token-sequence pipeline (documents) — packing, vocab, contamination,
+# mixture sampling.  operators/tokens.py; the training-data side of the
+# tokens payload the CDC engine keeps up to date.
+# --------------------------------------------------------------------- #
+_PORTABLE_TOK_SQL = "CAST(('0x' || substr(md5(w), 1, 15))::BIGINT % 65536 AS INT)"
+
+
+@_register(
+    "tok_pack_sequences",
+    """
+    WITH placed AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             COALESCE(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+                      OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS tok_start
+      FROM documents
+    ),
+    spans AS (
+      SELECT source, doc_id, n_tok, tok_start,
+             tok_start + n_tok - 1 AS tok_end,
+             unnest(generate_series(CAST(tok_start // 512 AS BIGINT),
+                                    CAST((tok_start + n_tok - 1) // 512 AS BIGINT))) AS seq_no
+      FROM placed WHERE n_tok > 0
+    )
+    SELECT source, seq_no,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LEAST(tok_end, (seq_no + 1) * 512 - 1)
+                    - GREATEST(tok_start, seq_no * 512) + 1) AS BIGINT)
+             AS n_tok_in_seq,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM spans GROUP BY source, seq_no
+    """,
+)
+def tok_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/tokens.py:pack_sequences): cut each
+    source's token stream into 512-token training windows, documents
+    spanning boundaries — the concat-then-chunk regime LLM pretraining
+    uses.  The running offset is a per-source window cumsum (parallel
+    across sources, never a global order) and token arrays are never
+    exploded: each doc fans out only into the windows it overlaps."""
+    from binlake_spark.operators.tokens import pack_sequences, tokenize
+
+    d = tokenize(_t(spark, sf_dir, "documents"))
+    return pack_sequences(d, seq_len=512)
+
+
+@_register(
+    "tok_vocab_top",
+    f"""
+    SELECT token_id, n_occ FROM (
+      SELECT {_PORTABLE_TOK_SQL} AS token_id,
+             CAST(count(*) AS BIGINT) AS n_occ
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY 1
+    ) ORDER BY n_occ DESC, token_id LIMIT 100
+    """,
+)
+def tok_vocab_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary histogram (operators/tokens.py:vocab_stats): top-100
+    token ids by corpus frequency, ties broken by id.  Partial
+    aggregation bounds the shuffle by vocab size, not corpus size."""
+    from binlake_spark.operators.tokens import vocab_stats
+
+    return vocab_stats(_t(spark, sf_dir, "documents"), top_k=100)
+
+
+_BENCH_SPLIT_SQL = """
+    candidates AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, 'leaked! ' || text AS text
+      FROM documents WHERE doc_id % 97 = 0
+    ),
+    benchmark AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
+    )
+"""
+
+
+@_register(
+    "tok_contamination",
+    f"""
+    WITH {_BENCH_SPLIT_SQL},
+    cand_grams AS (
+      SELECT DISTINCT a.doc_id AS doc_id,
+             a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w || ' ' || e.w AS g
+      FROM (SELECT doc_id,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos,
+                   unnest(string_split(text, ' ')) AS w
+            FROM candidates) a
+      JOIN (SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+                   unnest(string_split(text, ' ')) AS w FROM candidates) b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      JOIN (SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+                   unnest(string_split(text, ' ')) AS w FROM candidates) c
+        ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+      JOIN (SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+                   unnest(string_split(text, ' ')) AS w FROM candidates) d
+        ON a.doc_id = d.doc_id AND d.pos = a.pos + 3
+      JOIN (SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+                   unnest(string_split(text, ' ')) AS w FROM candidates) e
+        ON a.doc_id = e.doc_id AND e.pos = a.pos + 4
+    ),
+    bench_grams AS (
+      SELECT DISTINCT
+             a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w || ' ' || e.w AS g
+      FROM (SELECT doc_id,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos,
+                   unnest(string_split(text, ' ')) AS w
+            FROM benchmark) a
+      JOIN (SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+                   unnest(string_split(text, ' ')) AS w FROM benchmark) b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      JOIN (SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+                   unnest(string_split(text, ' ')) AS w FROM benchmark) c
+        ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+      JOIN (SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+                   unnest(string_split(text, ' ')) AS w FROM benchmark) d
+        ON a.doc_id = d.doc_id AND d.pos = a.pos + 3
+      JOIN (SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+                   unnest(string_split(text, ' ')) AS w FROM benchmark) e
+        ON a.doc_id = e.doc_id AND e.pos = a.pos + 4
+    ),
+    totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+               FROM cand_grams GROUP BY doc_id),
+    hits AS (SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+             FROM cand_grams cg JOIN bench_grams bg USING (g)
+             GROUP BY cg.doc_id)
+    SELECT t.doc_id, n_grams, n_hit,
+           round(CAST(n_hit AS DOUBLE) / n_grams, 4) AS containment
+    FROM totals t JOIN hits h ON t.doc_id = h.doc_id
+    WHERE CAST(n_hit AS DOUBLE) / n_grams >= 0.5
+    """,
+)
+def tok_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen (operators/tokens.py:contamination):
+    word-5-gram containment of each candidate against a benchmark split
+    (doc_id % 97), with planted leaked copies (benchmark text behind a
+    one-word prefix) that must surface at containment ≈ (G-4)/(G-3).
+    Candidate generation is a gram-key equi-join against the (small,
+    broadcast-able) benchmark gram set — never all-pairs."""
+    from binlake_spark.operators.tokens import contamination
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    cand = d.filter(F.col("doc_id") % 97 != 0).select("doc_id", "text").unionAll(
+        bench.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.lit("leaked! "), F.col("text")).alias("text"),
+        )
+    )
+    return contamination(cand, bench, n=5, threshold=0.5)
+
+
+@_register(
+    "tok_sample_budget",
+    """
+    WITH sampled AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+            % 1000000 / 1000000.0
+            < CASE WHEN length(source) = 4 THEN 0.75 ELSE 0.25 END
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_tok) AS BIGINT) AS tok_budget
+    FROM sampled GROUP BY source
+    """,
+)
+def tok_sample_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling (operators/tokens.py:
+    stratified_sample): keep-rate 0.75 for the single-digit sources and
+    0.25 for the rest, decided by a portable uniform hash of doc_id —
+    stable under reruns, engine changes, and data growth (a pure filter,
+    no RNG state).  Returns the per-source document count and token
+    budget actually drawn."""
+    from binlake_spark.operators.tokens import stratified_sample, tokenize
+
+    d = tokenize(_t(spark, sf_dir, "documents"))
+    rate = F.when(F.length("source") == 4, F.lit(0.75)).otherwise(F.lit(0.25))
+    return stratified_sample(d, rate).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tok").cast("long").alias("tok_budget"),
+    )

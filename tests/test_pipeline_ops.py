@@ -230,3 +230,97 @@ def test_ivf_assignment_plan_has_no_window_sort(emb):
     plan = inv._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
     assert "max_by" in plan or "MaxBy" in plan.lower() or "HashAggregate" in plan, plan
+
+
+# ------------------------ token-sequence ops --------------------------- #
+def test_tokenize_deterministic_and_sized(docs):
+    from binlake_spark.operators.tokens import tokenize
+
+    t = tokenize(docs.select("doc_id", "text"))
+    rows = t.select("doc_id", "tokens", "n_tok").collect()
+    assert all(r.n_tok == len(r.tokens) for r in rows)
+    assert all(0 <= v < 65536 for r in rows for v in r.tokens)
+    again = {r.doc_id: r.tokens for r in t.collect()}
+    assert all(again[r.doc_id] == r.tokens for r in rows)
+
+
+def test_pack_sequences_window_invariants(docs):
+    from binlake_spark.operators.tokens import pack_sequences, tokenize
+
+    L = 128
+    t = tokenize(docs.select("doc_id", "text", "source"))
+    packed = pack_sequences(t, seq_len=L).collect()
+    total_tok = t.agg(F.sum("n_tok")).collect()[0][0]
+    # token conservation: every token lands in exactly one window
+    assert sum(r.n_tok_in_seq for r in packed) == total_tok
+    by_src = {}
+    for r in packed:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rows in by_src.items():
+        rows.sort(key=lambda r: r.seq_no)
+        # contiguous window ids from 0
+        assert [r.seq_no for r in rows] == list(range(len(rows)))
+        # every window except the last is exactly full
+        assert all(r.n_tok_in_seq == L for r in rows[:-1])
+        assert 0 < rows[-1].n_tok_in_seq <= L
+        # doc spans of adjacent windows overlap by at most the boundary doc
+        for a, b in zip(rows, rows[1:]):
+            assert a.last_doc in (b.first_doc, b.first_doc - 1) or a.last_doc <= b.first_doc
+
+
+def test_contamination_finds_planted_leak_only(docs, spark):
+    from binlake_spark.operators.tokens import contamination
+
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    clean = docs.filter(F.col("doc_id") % 97 != 0).select("doc_id", "text")
+    leaked = bench.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("xprefix "), F.col("text")).alias("text"),
+    )
+    out = contamination(clean.unionAll(leaked), bench, n=5, threshold=0.5)
+    got = {r.doc_id: r.containment for r in out.collect()}
+
+    # independent brute-force expectation (sf0.001 is small enough)
+    def grams(text):
+        w = text.split(" ")
+        return {" ".join(w[i : i + 5]) for i in range(max(len(w) - 4, 0))}
+
+    bench_rows = bench.collect()
+    bench_set = set().union(*(grams(r.text) for r in bench_rows))
+    expected = {}
+    for r in clean.collect() + [
+        type(r)(doc_id=r.doc_id + 1000000, text="xprefix " + r.text)
+        for r in bench_rows
+    ]:
+        g = grams(r.text)
+        c = len(g & bench_set) / len(g)
+        if c >= 0.5:
+            expected[r.doc_id] = round(c, 4)
+    assert got == expected
+    # the planted leaks are all found, near-fully contained
+    assert all(got[r.doc_id + 1000000] > 0.9 for r in bench_rows)
+
+
+def test_stratified_sample_deterministic_subset(docs):
+    from binlake_spark.operators.tokens import stratified_sample
+
+    half = stratified_sample(docs, F.lit(0.5)).select("doc_id")
+    quarter = stratified_sample(docs, F.lit(0.25)).select("doc_id")
+    h = {r.doc_id for r in half.collect()}
+    q = {r.doc_id for r in quarter.collect()}
+    # lowering the rate can only shrink the kept set (nested samples)
+    assert q <= h
+    assert h == {r.doc_id for r in stratified_sample(docs, F.lit(0.5)).collect()}
+    n = docs.count()
+    assert 0.3 * n < len(h) < 0.7 * n
+
+
+def test_pack_sequences_single_exchange(docs):
+    """The packing plan must reuse the window's source-partitioning for the
+    final aggregate: exactly one Exchange end-to-end."""
+    from binlake_spark.operators.tokens import pack_sequences, tokenize
+
+    plan = pack_sequences(
+        tokenize(docs.select("doc_id", "text", "source"))
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1, plan
