@@ -2721,3 +2721,90 @@ def tok_sample_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("n_tok").cast("long").alias("tok_budget"),
     )
+
+
+# --------------------------------------------------------------------- #
+# Lake maintenance at driver scale — time travel, compaction
+# --------------------------------------------------------------------- #
+_TIME_TRAVEL_ORACLE_SQL = f"""
+    WITH log AS ({_SHARED_LOG_SQL}),
+    cut AS (SELECT CAST(max(seq) // 2 AS BIGINT) AS c FROM log),
+    valid AS (
+      SELECT l.* FROM log l, cut
+      WHERE l.seq <= cut.c
+        AND op IN ('I','U','D') AND octet_length(payload) = n_tok * 4
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+      FROM valid
+    )
+    SELECT doc_id, n_tok, source,
+           map_extract(extra, 'lang')[1] AS lang,
+           md5(array_to_string(tokens, ',')) AS tokens_sig
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+
+@_register("cdc_time_travel", _TIME_TRAVEL_ORACLE_SQL)
+def cdc_time_travel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel under subsequent commits: replay the log
+    prefix (seq ≤ max_seq/2) as one epoch, record that snapshot version,
+    replay the suffix on top, then ``read(version=prefix_version)``.
+    The old version must serve the exact prefix state — files, schema
+    (the mid-stream evolution may land in the suffix), and per-bucket
+    watermarks are all resolved from the pinned snapshot, not the head
+    (the reference's consumer replays from an arbitrary retained
+    position the same way, BinlogWorker.java:461-496 contiguous-commit
+    rule).  Oracle: LWW over only the prefix of the persisted log."""
+    import tempfile
+
+    from binlake_spark.changelog.generator import CHANGE_LOG_SCHEMA
+    from binlake_spark.streaming import CdcEngine
+
+    src = _shared_log(sf_dir)
+    work = tempfile.mkdtemp(prefix="binlake_driver_tt_")
+    table = CdcEngine.create_table(f"{work}/docs", num_buckets=16)
+    engine = CdcEngine(table)
+    log = spark.read.schema(CHANGE_LOG_SCHEMA).parquet(src)
+    cut = log.agg(F.expr("max(seq) div 2").alias("c")).collect()[0][0]
+    engine.apply_batch(log.filter(F.col("seq") <= cut), epoch_id=0)
+    v_prefix = table.snapshot()["version"]
+    engine.apply_batch(log.filter(F.col("seq") > cut), epoch_id=1)
+    return table.read(spark, version=v_prefix).select(
+        "doc_id", "n_tok", "source", "lang", _tokens_sig()
+    )
+
+
+@_register("cdc_compaction", _REPLAY_ORACLE_SQL)
+def cdc_compaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOR compaction is state-preserving: replay the full log as
+    delta appends with auto-compaction disabled, fold ALL deltas into
+    the base in one ``compact_buckets`` pass (Iceberg
+    ``rewrite_data_files`` analog), verify the delta lists are empty,
+    and serve the final state from the pure base-file read path.  The
+    hash must equal the same LWW oracle as cdc_engine_replay — i.e.
+    compaction changed the physical layout and nothing else."""
+    import tempfile
+
+    from binlake_spark.changelog.generator import CHANGE_LOG_SCHEMA
+    from binlake_spark.lake.merge import compact_buckets
+    from binlake_spark.streaming import CdcEngine
+
+    src = _shared_log(sf_dir)
+    work = tempfile.mkdtemp(prefix="binlake_driver_cp_")
+    table = CdcEngine.create_table(f"{work}/docs", num_buckets=16)
+    engine = CdcEngine(table, mode="mor", mor_compact_every=1 << 30)
+    log = spark.read.schema(CHANGE_LOG_SCHEMA).parquet(src)
+    n_epochs = log.agg(F.max("epoch_hint")).collect()[0][0] + 1
+    for i in range(int(n_epochs)):
+        engine.apply_batch(log.filter(F.col("epoch_hint") == i), epoch_id=i)
+    pre = {b for b, fl in table.snapshot().get("deltas", {}).items() if fl}
+    if not pre:
+        raise RuntimeError("MOR replay produced no deltas to compact")
+    compact_buckets(spark, table, min_deltas=1)
+    left = {b for b, fl in table.snapshot().get("deltas", {}).items() if fl}
+    if left:
+        raise RuntimeError(f"compaction left deltas in buckets {sorted(left)}")
+    return engine.read_state(spark).select(
+        "doc_id", "n_tok", "source", "lang", _tokens_sig()
+    )
