@@ -221,7 +221,11 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard via posting-list self-join.  ``max_df`` drops
     stop-grams whose posting lists would blow up the join (documented cap:
     a pair sharing only ultra-common grams can be missed)."""
-    sh = _shingles(df, id_col, text_col, n)
+    # materialize the posting list once: it feeds the doc-size aggregate,
+    # the stop-gram df aggregate, and BOTH sides of the candidate
+    # self-join — without this the shingle explode+distinct re-runs for
+    # each of its four consumers
+    sh = _shingles(df, id_col, text_col, n).localCheckpoint()
     cnt = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     if max_df is not None:
         dfq = sh.groupBy("_gh").agg(F.count(F.lit(1)).alias("_df"))

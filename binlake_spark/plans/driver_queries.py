@@ -643,17 +643,18 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM docs2
     ),
     grams AS (
-      SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+      SELECT DISTINCT a.doc_id,
+             ('0x' || substr(md5(a.w || ' ' || b.w || ' ' || c.w), 1, 15))::BIGINT AS h
       FROM words a
       JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
       JOIN words c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
     ),
-    keep AS (SELECT g FROM grams GROUP BY g HAVING count(*) <= 50),
-    gj AS (SELECT gr.doc_id, gr.g FROM grams gr JOIN keep USING (g)),
+    keep AS (SELECT h FROM grams GROUP BY h HAVING count(*) <= 50),
+    gj AS (SELECT gr.doc_id, gr.h FROM grams gr JOIN keep USING (h)),
     cnt AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
     inter AS (
       SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
-      FROM gj x JOIN gj y ON x.g = y.g AND x.doc_id < y.doc_id
+      FROM gj x JOIN gj y ON x.h = y.h AND x.doc_id < y.doc_id
       GROUP BY x.doc_id, y.doc_id
     )
     SELECT doc_a, doc_b,
@@ -684,19 +685,26 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("g"),
         )
+        # join/aggregate on the portable 60-bit gram hash, not the gram
+        # string: every downstream shuffle row shrinks to 16 bytes, and
+        # the (doc_id, h) posting list is materialized ONCE
+        # (localCheckpoint) instead of re-deriving the explode+distinct
+        # for each of its four consumers (cnt, keep, both join sides)
+        .select("doc_id", F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long").alias("h"))
         .distinct()
+        .localCheckpoint()
     )
     cnt = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     keep = (
-        grams.groupBy("g")
+        grams.groupBy("h")
         .agg(F.count(F.lit(1)).alias("_df"))
         .filter(F.col("_df") <= 50)
-        .select("g")
+        .select("h")
     )
-    gj = grams.join(keep, "g")
-    g2 = gj.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("g"))
+    gj = grams.join(keep, "h")
+    g2 = gj.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("h"))
     inter = (
-        gj.join(g2, (gj.g == g2.g) & (gj.doc_id < g2.doc_b))
+        gj.join(g2, (gj.h == g2.h) & (gj.doc_id < g2.doc_b))
         .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
         .agg(F.count(F.lit(1)).alias("i"))
     )
