@@ -56,6 +56,10 @@ HEADLINE = [
     "sim_ivf",
     "text_token_bpe",
     "mm_frame_sample",
+    # round 3 additions (token-sequence pipeline ops) — new keys, the
+    # pre-existing keys stay comparable round-over-round
+    "tok_pack_sequences",
+    "tok_contamination",
 ]
 
 

@@ -74,3 +74,47 @@ def test_all_strategies_agree(spark, rows):
     for name, out in got.items():
         res = {r.doc_id: (r.seq, r.op, r.n_tok) for r in out.collect()}
         assert res == exp, name
+
+
+# ------------------- sequence packing (operators/tokens.py) ------------ #
+@st.composite
+def doc_streams(draw):
+    n_sources = draw(st.integers(min_value=1, max_value=3))
+    rows = []
+    for s in range(n_sources):
+        n_docs = draw(st.integers(min_value=1, max_value=20))
+        for d in range(n_docs):
+            rows.append((f"s{s}", d, draw(st.integers(min_value=0, max_value=40))))
+    return rows
+
+
+def _pack_reference(rows, L):
+    """Independent concat-then-chunk packer: walk each source's docs in
+    order, appending doc_id n_tok times to the stream, then chunk."""
+    out = {}
+    streams = {}
+    for src, doc, n in sorted(rows):
+        streams.setdefault(src, []).extend([doc] * n)
+    for src, toks in streams.items():
+        for w in range(0, len(toks), L):
+            chunk = toks[w : w + L]
+            docs = sorted(set(chunk))
+            out[(src, w // L)] = (len(docs), len(chunk), docs[0], docs[-1])
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(rows=doc_streams(), L=st.sampled_from([1, 7, 64]))
+def test_pack_sequences_matches_reference(spark, rows, L):
+    from binlake_spark.operators.tokens import pack_sequences
+
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tok int")
+    got = {
+        (r.source, r.seq_no): (r.n_docs, r.n_tok_in_seq, r.first_doc, r.last_doc)
+        for r in pack_sequences(df, seq_len=L).collect()
+    }
+    assert got == _pack_reference(rows, L)
