@@ -173,20 +173,28 @@ def contamination(
     Never all-pairs; cost ∝ matching grams."""
 
     def grams(frame: DataFrame, alias: str) -> DataFrame:
-        words = F.split(F.col(text_col), " ")
         g = F.expr(
             f"transform(sequence(0, greatest(size(split({text_col}, ' ')) - {n}, -1)),"
             f" i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n})))"
         )
-        return frame.select(
-            F.col(id_col).alias(alias), F.explode(g).alias("g")
-        ).distinct()
+        # the gram text never matters downstream, only membership — carry
+        # the portable 60-bit hash so shuffle rows and the broadcast set
+        # are fixed-width (16 B), the same trick as the ngram-Jaccard op
+        return (
+            frame.select(F.col(id_col).alias(alias), F.explode(g).alias("_g"))
+            .select(alias, portable_hash(F.col("_g")).alias("g"))
+            .distinct()
+        )
 
-    cand = grams(df, "doc_id")
+    # materialize the candidate posting list once (it feeds both the
+    # per-doc total and the hit count); the benchmark gram set is the
+    # small side by construction — broadcast it so the screen is a
+    # map-side semi-join over the corpus, no wide shuffle of candidates
+    cand = grams(df, "doc_id").localCheckpoint()
     bench_grams = grams(benchmark, "bench_id").select("g").distinct()
     totals = cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     hits = (
-        cand.join(bench_grams, "g")
+        cand.join(F.broadcast(bench_grams), "g")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hit"))
     )

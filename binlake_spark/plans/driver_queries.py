@@ -2628,7 +2628,7 @@ _BENCH_SPLIT_SQL = """
     WITH {_BENCH_SPLIT_SQL},
     cand_grams AS (
       SELECT DISTINCT a.doc_id AS doc_id,
-             a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w || ' ' || e.w AS g
+             ('0x' || substr(md5(a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w || ' ' || e.w), 1, 15))::BIGINT AS g
       FROM (SELECT doc_id,
                    generate_subscripts(string_split(text, ' '), 1) AS pos,
                    unnest(string_split(text, ' ')) AS w
@@ -2648,7 +2648,7 @@ _BENCH_SPLIT_SQL = """
     ),
     bench_grams AS (
       SELECT DISTINCT
-             a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w || ' ' || e.w AS g
+             ('0x' || substr(md5(a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w || ' ' || e.w), 1, 15))::BIGINT AS g
       FROM (SELECT doc_id,
                    generate_subscripts(string_split(text, ' '), 1) AS pos,
                    unnest(string_split(text, ' ')) AS w

@@ -91,3 +91,39 @@ def test_kafka_envelope_decode_contract(spark, tmp_path):
         o = orig[r["seq"]]
         for c in cols:
             assert r[c] == o[c], (r["seq"], c, r[c], o[c])
+
+
+def test_jdbc_snapshot_options_partition_planning():
+    from binlake_spark.sources.changelog_sources import jdbc_snapshot_options
+
+    opts = jdbc_snapshot_options(
+        "jdbc:mysql://primary:3306/db", "docs",
+        partition_col="doc_pk", lower_bound=0, upper_bound=1 << 20,
+        num_partitions=64,
+    )
+    assert opts["partitionColumn"] == "doc_pk"
+    assert (opts["lowerBound"], opts["upperBound"]) == ("0", str(1 << 20))
+    assert opts["numPartitions"] == "64"
+    assert opts["fetchsize"] == "10000"
+    # unpartitioned form is legal (small dims)
+    small = jdbc_snapshot_options("jdbc:mysql://primary/db", "dims")
+    assert "partitionColumn" not in small
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        jdbc_snapshot_options("mysql://nope", "t")
+    with _pytest.raises(ValueError):
+        jdbc_snapshot_options("jdbc:mysql://p/db", "t", partition_col="k")
+    with _pytest.raises(ValueError):
+        jdbc_snapshot_options(
+            "jdbc:mysql://p/db", "t",
+            partition_col="k", lower_bound=5, upper_bound=5, num_partitions=2,
+        )
+
+
+def test_jdbc_snapshot_gated_without_driver(spark):
+    from binlake_spark.sources.changelog_sources import jdbc_snapshot
+
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="JDBC driver jar"):
+        jdbc_snapshot(spark, url="jdbc:mysql://nowhere:1/db", table="docs")
