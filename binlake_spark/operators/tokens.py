@@ -209,6 +209,166 @@ def contamination(
     )
 
 
+def bpe_pair_counts(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    top_k: int = 50,
+) -> DataFrame:
+    """Adjacent token-pair frequency count — the inner loop of BPE/
+    WordPiece vocabulary training (each merge round promotes the most
+    frequent pair).  Returns the top-``top_k`` pairs by corpus count,
+    ties broken by (tok_a, tok_b).
+
+    Shape: ``zip_with`` over two shifted slices builds the pair list
+    in-place (no token explode until the pair rows, which partial
+    aggregation collapses to ≤ |observed pairs| per map task before the
+    shuffle) — the wide exchange is bounded by distinct-pair cardinality
+    (≤ vocab², in practice Heaps-law small), not corpus size.  One merge
+    round = one run of this plan; training loops it driver-side with the
+    winning pair folded into the tokenizer."""
+    t = tokens_col
+    pairs = F.expr(
+        f"zip_with(slice({t}, 1, greatest(size({t}) - 1, 0)),"
+        f"         slice({t}, 2, greatest(size({t}) - 1, 0)),"
+        f"         (a, b) -> struct(a AS tok_a, b AS tok_b))"
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .select("p.tok_a", "p.tok_b")
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), "tok_a", "tok_b")
+        .limit(top_k)
+    )
+
+
+def dup_token_windows(
+    df: DataFrame,
+    window: int = 8,
+    stride: int = 1,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicated-token-window detection (the substring-dedup
+    regime of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better": repeated ``window``-token spans across documents are
+    memorization fuel even when whole docs differ).  Returns, per
+    document that shares at least one window with another document, the
+    distinct-window count and how many of those windows also occur
+    elsewhere.
+
+    Shape: each doc emits its window fingerprints (60-bit portable hash
+    of the id-joined span — fixed-width shuffle rows), a groupBy finds
+    fingerprints seen in ≥ 2 docs, and an equi-join back flags them.
+    Cost ∝ tokens / ``stride`` (the scale knob: production substring
+    dedup runs stride 4-16 then verifies hits), never all-pairs."""
+    t, W, S = tokens_col, int(window), int(stride)
+    span_hash = portable_hash(
+        F.expr(
+            f"concat_ws(',', transform(slice({t}, i, {W}),"
+            f" x -> cast(x AS string)))"
+        )
+    )
+    wins = (
+        df.filter(F.size(t) >= W)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(t),
+            F.explode(
+                F.expr(f"sequence(1, size({t}) - {W} + 1, {S})")
+            ).alias("i"),
+        )
+        .select("doc_id", span_hash.alias("wh"))
+        .distinct()
+    )
+    shared = (
+        wins.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("n_docs_with"))
+        .filter(F.col("n_docs_with") >= 2)
+        .select("wh")
+    )
+    return (
+        wins.join(shared.withColumn("_dup", F.lit(1)), "wh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_win"),
+            F.count("_dup").alias("n_dup"),
+        )
+        .filter(F.col("n_dup") > 0)
+    )
+
+
+def shard_assign(
+    df: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    n_tok_col: str = "n_tok",
+) -> DataFrame:
+    """Deterministic training-shard assignment: shard = portable hash of
+    the doc id mod ``n_shards`` (stable across runs/engines/cluster
+    sizes; adding docs never moves existing ones).  Returns per-shard
+    document and token totals plus ``balance_pml`` — shard tokens as ‰
+    of the ideal even split, integer math so two engines agree exactly.
+    Hash sharding is the 10^10-doc regime's answer to balanced packing:
+    no sequential bin-packing state, and the law of large numbers keeps
+    shards within a few ‰ of ideal (which this op *measures* rather than
+    assumes).  The physical write is ``df.repartition(n_shards, shard)``
+    + sortWithinPartitions — same column, no extra shuffle."""
+    K = int(n_shards)
+    shard = (portable_hash(F.col(id_col).cast("string")) % K).cast("int")
+    per = (
+        df.select(shard.alias("shard"), F.col(n_tok_col).cast("long").alias("n_tok"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("shard_tok"),
+        )
+    )
+    total = per.agg(F.sum("shard_tok").cast("long").alias("_total"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "shard",
+        "n_docs",
+        "shard_tok",
+        # ‰ of ideal, floor-divided in BIGINT (`DIV`, never double
+        # division — exact past 2^53 and identical to DuckDB's `//`)
+        F.expr(f"shard_tok * {K} * 1000 DIV _total").alias("balance_pml"),
+    )
+
+
+def mixture_weights(
+    df: DataFrame,
+    token_budget: int = 1_000_000,
+    source_col: str = "source",
+    n_tok_col: str = "n_tok",
+) -> DataFrame:
+    """Temperature-scaled domain-mixture weights (the multilingual /
+    multi-domain sampling rule p_i ∝ c_i^α): per-source token counts →
+    sampling weight → token allocation for a ``token_budget`` draw.
+
+    Pinned to α = 1/2 with integer quantization so the result is
+    engine-exact: IEEE sqrt is correctly rounded (identical in every
+    engine), the floor makes it an integer, and from there the weights
+    are pure BIGINT ratios — no cross-engine pow()/summation-order
+    drift.  The library accepts any α via the same plan; the oracle
+    contract covers the α=1/2 instance."""
+    per = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(F.col(n_tok_col).cast("long")).alias("n_tok")
+    )
+    s = F.floor(F.sqrt(F.col("n_tok").cast("double"))).cast("long")
+    scaled = per.withColumn("s", s)
+    denom = scaled.agg(F.sum("s").cast("long").alias("_den"))
+    B = int(token_budget)
+    return (
+        scaled.crossJoin(F.broadcast(denom))
+        .select(
+            "source",
+            "n_tok",
+            F.expr("s * 1000000 DIV _den").alias("weight_ppm"),
+            F.expr(f"s * {B} DIV _den").alias("tok_alloc"),
+        )
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     rate_expr: Column,

@@ -2731,6 +2731,138 @@ def tok_sample_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "tok_bpe_pairs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) AS pos,
+             {_PORTABLE_TOK_SQL.replace('md5(w)', "md5(unnest(string_split(text, ' ')))")} AS tid
+      FROM documents
+    )
+    SELECT a.tid AS tok_a, b.tid AS tok_b,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    GROUP BY 1, 2
+    ORDER BY n_pairs DESC, tok_a, tok_b LIMIT 50
+    """,
+)
+def tok_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-training inner loop (operators/tokens.py:bpe_pair_counts):
+    top-50 adjacent token pairs by corpus frequency, the quantity each
+    merge round of BPE/WordPiece training maximizes.  zip_with over
+    shifted slices — pairs materialize per-row, partial aggregation
+    bounds the shuffle by distinct-pair cardinality, not corpus size."""
+    from binlake_spark.operators.tokens import bpe_pair_counts, tokenize
+
+    d = tokenize(_t(spark, sf_dir, "documents"))
+    return bpe_pair_counts(d, top_k=50)
+
+
+@_register(
+    "tok_dup_windows",
+    f"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '),
+               w -> {_PORTABLE_TOK_SQL}) AS toks
+      FROM documents
+    ),
+    wins AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(array_to_string(toks[i:i+7], ',')), 1, 15))::BIGINT AS wh
+      FROM tk, LATERAL (
+        SELECT unnest(generate_series(1, len(toks) - 7, 1)) AS i
+      ) starts
+      WHERE len(toks) >= 8
+    ),
+    shared AS (
+      SELECT wh FROM wins GROUP BY wh HAVING count(*) >= 2
+    )
+    SELECT w.doc_id,
+           CAST(count(*) AS BIGINT) AS n_win,
+           CAST(count(s.wh) AS BIGINT) AS n_dup
+    FROM wins w LEFT JOIN shared s USING (wh)
+    GROUP BY w.doc_id HAVING count(s.wh) > 0
+    """,
+)
+def tok_dup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-token-window detection (operators/tokens.py:
+    dup_token_windows), the substring-dedup regime of Lee et al. 2022:
+    8-token spans repeated across documents, per flagged doc.  Window
+    fingerprints are 60-bit portable hashes; the detector is a groupBy
+    on the fingerprint + equi-join back — cost ∝ tokens/stride, never
+    all-pairs."""
+    from binlake_spark.operators.tokens import dup_token_windows, tokenize
+
+    d = tokenize(_t(spark, sf_dir, "documents"))
+    return dup_token_windows(d, window=8, stride=1)
+
+
+@_register(
+    "tok_shard_balance",
+    """
+    WITH assigned AS (
+      SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  % 16 AS INT) AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    per AS (
+      SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS shard_tok
+      FROM assigned GROUP BY shard
+    )
+    SELECT shard, n_docs, shard_tok,
+           shard_tok * 16 * 1000 // (SELECT CAST(SUM(shard_tok) AS BIGINT) FROM per)
+             AS balance_pml
+    FROM per
+    """,
+)
+def tok_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment (operators/tokens.py:
+    shard_assign): portable hash of doc_id mod 16, per-shard doc/token
+    totals and token balance as ‰ of the ideal even split (BIGINT DIV —
+    engine-exact).  Measures, rather than assumes, that hash sharding
+    balances shards at scale; the physical write is repartition(16,
+    shard) on the same column."""
+    from binlake_spark.operators.tokens import shard_assign, tokenize
+
+    d = tokenize(_t(spark, sf_dir, "documents"))
+    return shard_assign(d, n_shards=16)
+
+
+@_register(
+    "tok_mixture_weights",
+    """
+    WITH per AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+      FROM documents GROUP BY source
+    ),
+    scaled AS (
+      SELECT source, n_tok,
+             CAST(floor(sqrt(CAST(n_tok AS DOUBLE))) AS BIGINT) AS s
+      FROM per
+    )
+    SELECT source, n_tok,
+           s * 1000000 // (SELECT CAST(SUM(s) AS BIGINT) FROM scaled) AS weight_ppm,
+           s * 1000000 // (SELECT CAST(SUM(s) AS BIGINT) FROM scaled) AS tok_alloc
+    FROM scaled
+    """,
+)
+def tok_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixture (operators/tokens.py:
+    mixture_weights), α = 1/2 instance: per-source sampling weight
+    p_i ∝ sqrt(tokens_i) and the token allocation for a 1M-token draw.
+    IEEE sqrt is correctly rounded, the floor lands in BIGINT, and the
+    ratios are integer DIV — no cross-engine pow()/summation drift."""
+    from binlake_spark.operators.tokens import mixture_weights, tokenize
+
+    d = tokenize(_t(spark, sf_dir, "documents"))
+    return mixture_weights(d, token_budget=1_000_000)
+
+
 # --------------------------------------------------------------------- #
 # Lake maintenance at driver scale — time travel, compaction
 # --------------------------------------------------------------------- #

@@ -315,6 +315,93 @@ def test_stratified_sample_deterministic_subset(docs):
     assert 0.3 * n < len(h) < 0.7 * n
 
 
+def test_bpe_pair_counts_matches_bruteforce(docs):
+    from binlake_spark.operators.tokens import bpe_pair_counts, tokenize
+
+    t = tokenize(docs.select("doc_id", "text"))
+    got = [(r.tok_a, r.tok_b, r.n_pairs) for r in bpe_pair_counts(t, top_k=25).collect()]
+
+    counts = {}
+    for r in t.select("tokens").collect():
+        for a, b in zip(r.tokens, r.tokens[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    exp = sorted(((a, b, n) for (a, b), n in counts.items()),
+                 key=lambda x: (-x[2], x[0], x[1]))[:25]
+    assert got == exp
+
+
+def test_dup_token_windows_matches_bruteforce(docs):
+    from binlake_spark.operators.tokens import dup_token_windows, tokenize
+
+    W = 8
+    base = docs.select("doc_id", "text")
+    cloned = base.unionAll(
+        base.filter(F.col("doc_id") % 83 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    t = tokenize(cloned)
+    got = {r.doc_id: (r.n_win, r.n_dup) for r in dup_token_windows(t, window=W).collect()}
+
+    wins = {}
+    for r in t.select("doc_id", "tokens").collect():
+        if len(r.tokens) >= W:
+            wins[r.doc_id] = {
+                tuple(r.tokens[i : i + W]) for i in range(len(r.tokens) - W + 1)
+            }
+    from collections import Counter
+
+    seen = Counter(w for ws in wins.values() for w in ws)
+    exp = {}
+    for d, ws in wins.items():
+        n_dup = sum(1 for w in ws if seen[w] >= 2)
+        if n_dup > 0:
+            exp[d] = (len(ws), n_dup)
+    assert got == exp
+    # every planted clone (and its source) is flagged with ALL windows dup
+    for d in exp:
+        if d >= 1000000:
+            assert got[d][0] == got[d][1]
+
+
+def test_shard_assign_conservation_and_determinism(docs):
+    from binlake_spark.operators.tokens import shard_assign, tokenize
+
+    t = tokenize(docs.select("doc_id", "text"))
+    out = shard_assign(t, n_shards=16).collect()
+    assert {r.shard for r in out} <= set(range(16))
+    assert sum(r.n_docs for r in out) == t.count()
+    total = t.agg(F.sum("n_tok")).collect()[0][0]
+    assert sum(r.shard_tok for r in out) == total
+    for r in out:
+        assert r.balance_pml == r.shard_tok * 16 * 1000 // total
+    again = {r.shard: (r.n_docs, r.shard_tok) for r in shard_assign(t, 16).collect()}
+    assert again == {r.shard: (r.n_docs, r.shard_tok) for r in out}
+
+
+def test_mixture_weights_alpha_half(docs):
+    import math
+
+    from binlake_spark.operators.tokens import mixture_weights, tokenize
+
+    t = tokenize(docs.select("doc_id", "text", "source"))
+    B = 1_000_000
+    out = mixture_weights(t, token_budget=B).collect()
+    per = {
+        r.source: r.n_tok
+        for r in t.groupBy("source").agg(F.sum("n_tok").alias("n_tok")).collect()
+    }
+    s = {src: math.floor(math.sqrt(n)) for src, n in per.items()}
+    den = sum(s.values())
+    assert {r.source: r.n_tok for r in out} == per
+    for r in out:
+        assert r.weight_ppm == s[r.source] * 1_000_000 // den
+        assert r.tok_alloc == s[r.source] * B // den
+    # allocations never exceed the budget, and fill it up to rounding slack
+    assert sum(r.tok_alloc for r in out) <= B
+    assert sum(r.tok_alloc for r in out) >= B - len(out)
+
+
 def test_pack_sequences_single_exchange(docs):
     """The packing plan must reuse the window's source-partitioning for the
     final aggregate: exactly one Exchange end-to-end."""
