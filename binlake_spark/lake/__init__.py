@@ -1,6 +1,6 @@
 from binlake_spark.lake.table import LakeTable
 from binlake_spark.lake.feed import ChangeFeedReader, FeedBehindRetention
-from binlake_spark.lake.ivm import FeedAggregate
+from binlake_spark.lake.ivm import FeedAggregate, TokenVocabAggregate
 from binlake_spark.lake.merge import (
     compact_buckets,
     merge_into,
@@ -13,6 +13,7 @@ __all__ = [
     "FeedAggregate",
     "FeedBehindRetention",
     "LakeTable",
+    "TokenVocabAggregate",
     "compact_buckets",
     "merge_into",
     "merge_into_mor",

@@ -99,6 +99,17 @@ class FeedAggregate:
         return spark.read.parquet(os.path.join(self.path, st["state_dir"]))
 
     # ------------------------------------------------------------------ #
+    def _bootstrap_contribs(self, base: DataFrame) -> DataFrame:
+        """Full-table contributions for the first refresh (sign +1)."""
+        sel = [F.lit(1).cast("long").alias("_d_rows")] + [
+            F.col(c).alias(c) for c in self.group_cols
+        ]
+        for name, expr in self.sums.items():
+            sel.append(
+                F.coalesce(F.expr(expr).cast("long"), F.lit(0)).alias(f"_d_{name}")
+            )
+        return base.select(*sel)
+
     def _deltas(self, changes: DataFrame) -> DataFrame:
         """I/U/D feed rows → signed group contributions."""
         key = self.table.snapshot()["key_col"]
@@ -152,12 +163,7 @@ class FeedAggregate:
 
         if st is None:
             base = self.table.read(spark, version=cur)
-            sel = [F.lit(1).cast("long").alias("_d_rows")] + [
-                F.col(c).alias(c) for c in self.group_cols
-            ]
-            for name, expr in self.sums.items():
-                sel.append(F.coalesce(F.expr(expr).cast("long"), F.lit(0)).alias(f"_d_{name}"))
-            new_state = self._aggregate(base.select(*sel))
+            new_state = self._aggregate(self._bootstrap_contribs(base))
             self._publish(spark, new_state, state_no=0, feed_version=cur)
             return True
 
@@ -210,6 +216,74 @@ class FeedAggregate:
                 no = int(name.split("v", 1)[1])
                 if no <= state_no - _KEEP_STATES:
                     shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+
+
+class TokenVocabAggregate(FeedAggregate):
+    """Per-token corpus statistics — document frequency and total
+    occurrence count — maintained incrementally from the change feed.
+
+    This is the tokenizer-vocabulary view of the CDC table: the histogram
+    a tokenizer trainer, mixture sampler, or drift monitor reads stays
+    current as the corpus mutates (doc inserts, edits, deletes) without
+    ever rescanning the table.  It is the consumer-side materialized
+    rollup a BinLake MQ subscriber maintains by re-applying row images
+    (doc/binlake-arc.md consumer story), specialized to the token payload
+    where the aggregate key lives *inside* the row's token array rather
+    than in a column.
+
+    Delta algebra per change row: every (doc, token) pair of the post
+    image contributes (+1 doc, +occurrences), of the pre image
+    (−1 doc, −occurrences); a doc that keeps a token across an update
+    nets to zero, a token vanishing from its last doc drops out of the
+    state (``n_rows`` reaches 0).  Contributions are pre-aggregated per
+    (doc, token) before the global token groupBy, so the wide shuffle is
+    bounded by |changed docs| × |distinct tokens per doc| — the window's
+    write rate, never corpus size; state stays |vocab|-sized.
+
+    State columns: ``tok``, ``n_rows`` (= document frequency) and
+    ``n_occ`` (= total occurrences); :meth:`vocab` renames ``n_rows`` to
+    ``n_docs`` for readers.  Commit/crash semantics (atomic
+    state+position publish, reset/re-bootstrap) are inherited.
+    """
+
+    def __init__(self, table: LakeTable, path: str, tokens_col: str = "tokens"):
+        # sums names the maintained column; both contribution hooks are
+        # overridden, so the expression itself is never evaluated
+        super().__init__(table, path, group_cols=["tok"], sums={"n_occ": tokens_col})
+        self.tokens_col = tokens_col
+
+    def _contribs(self, df: DataFrame, tokens: F.Column, sign: int) -> DataFrame:
+        key = self.table.snapshot()["key_col"]
+        per_doc = (
+            df.select(F.col(key).alias("_k"), F.explode(tokens).alias("tok"))
+            .groupBy("_k", "tok")
+            .agg(F.count(F.lit(1)).alias("_occ"))
+        )
+        return per_doc.select(
+            "tok",
+            F.lit(sign).cast("long").alias("_d_rows"),
+            (F.lit(sign) * F.col("_occ")).cast("long").alias("_d_n_occ"),
+        )
+
+    def _bootstrap_contribs(self, base: DataFrame) -> DataFrame:
+        return self._contribs(base, F.col(self.tokens_col), 1)
+
+    def _deltas(self, changes: DataFrame) -> DataFrame:
+        t = self.tokens_col
+        op = F.col("_change_op")
+        post = self._contribs(changes.filter(op.isin("I", "U")), F.col(t), 1)
+        # D rows carry the preimage at top level; U preimages live in _pre
+        dele = self._contribs(changes.filter(op == "D"), F.col(t), -1)
+        upd_pre = self._contribs(
+            changes.filter(op == "U"), F.col(f"_pre.{t}"), -1
+        )
+        return post.unionByName(dele).unionByName(upd_pre)
+
+    def vocab(self, spark: SparkSession) -> DataFrame:
+        """The current vocabulary: (tok, n_docs, n_occ)."""
+        return self.read(spark).select(
+            "tok", F.col("n_rows").alias("n_docs"), F.col("n_occ")
+        )
 
 
 def _rewrite_pre(expr: str, table: LakeTable) -> str:

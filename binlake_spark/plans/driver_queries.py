@@ -1220,6 +1220,67 @@ def cdc_ivm_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Token-vocabulary IVM: the aggregate key lives INSIDE the row's token
+# array, so the delta algebra is per-(doc, token) ±occurrences rather
+# than per-row ±f(cols).  Matching a from-scratch explode+GROUP BY over
+# the final LWW state proves the incremental token algebra is exact
+# through inserts, token-rewriting updates, deletes, and retransmits.
+_TOK_VOCAB_IVM_ORACLE_SQL = f"""
+    WITH log AS ({_SHARED_LOG_SQL}),
+    valid AS (
+      SELECT * FROM log
+      WHERE op IN ('I','U','D') AND octet_length(payload) = n_tok * 4
+    ),
+    final AS (
+      SELECT * FROM (
+        SELECT v.*, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+        FROM valid v
+      ) WHERE rn = 1 AND op <> 'D'
+    ),
+    ex AS (SELECT doc_id, unnest(tokens) AS tok FROM final)
+    SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occ
+    FROM ex GROUP BY tok
+"""
+
+
+@_register("tok_vocab_ivm", _TOK_VOCAB_IVM_ORACLE_SQL)
+def tok_vocab_ivm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained token vocabulary (TokenVocabAggregate):
+    replay the shared log epoch by epoch, refreshing the per-token
+    (n_docs, n_occ) histogram after every epoch purely from that window's
+    change-feed deltas — the CDC × tokens flagship: vocabulary statistics
+    a tokenizer trainer reads stay current as the corpus mutates, without
+    rescanning the table.  The oracle recomputes the histogram from
+    scratch over the final LWW state, so a hash match proves the
+    per-(doc, token) delta algebra converged exactly through inserts,
+    token-rewriting updates, deletes, and retransmission noise."""
+    import tempfile
+
+    from binlake_spark.changelog.generator import CHANGE_LOG_SCHEMA
+    from binlake_spark.lake import TokenVocabAggregate
+    from binlake_spark.streaming import CdcEngine
+
+    src = _shared_log(sf_dir)
+    log = spark.read.schema(CHANGE_LOG_SCHEMA).parquet(src)
+    work = tempfile.mkdtemp(prefix="binlake_driver_tvivm_")
+    table = CdcEngine.create_table(f"{work}/docs", num_buckets=16)
+    engine = CdcEngine(table)
+    agg = TokenVocabAggregate(table, f"{work}/vocab")
+    epochs = [
+        int(r[0])
+        for r in log.select("epoch_hint").distinct().orderBy("epoch_hint").collect()
+    ]
+    for i, ep in enumerate(epochs):
+        engine.apply_batch(log.filter(F.col("epoch_hint") == ep), epoch_id=i)
+        agg.refresh(spark)
+    return agg.vocab(spark).select(
+        "tok",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_occ").cast("long").alias("n_occ"),
+    )
+
+
 # --------------------------------------------------------------------- #
 # Multimodal plumbing (binary payload stats)
 # --------------------------------------------------------------------- #

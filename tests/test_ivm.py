@@ -232,3 +232,127 @@ def test_ivm_rejects_colliding_sum_names(spark, tmp_path):
         FeedAggregate(table, str(tmp_path / "a"), ["source"], {"n_rows": "n_tok"})
     with pytest.raises(ValueError, match="collide"):
         FeedAggregate(table, str(tmp_path / "b"), ["source"], {"source": "n_tok"})
+
+
+# ----------------------- token-vocabulary IVM -------------------------- #
+def _vocab_recompute(spark, table):
+    return {
+        tuple(r)
+        for r in table.read(spark)
+        .select("doc_id", F.explode("tokens").alias("tok"))
+        .groupBy("tok")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occ"),
+        )
+        .collect()
+    }
+
+
+def test_token_vocab_tracks_recompute_across_epochs(spark, tmp_path):
+    from binlake_spark.lake import TokenVocabAggregate
+
+    pdf = generate_change_log(
+        GenSpec(n_docs=40, n_events=1000, events_per_epoch=250,
+                retransmit_frac=0.1, evolution_at=500)
+    )
+    df = _log_df(spark, tmp_path, pdf)
+    table = CdcEngine.create_table(str(tmp_path / "docs"), num_buckets=8)
+    engine = CdcEngine(table)
+    agg = TokenVocabAggregate(table, str(tmp_path / "vocab"))
+
+    for i, ep in enumerate(sorted(pdf["epoch_hint"].unique())):
+        engine.apply_batch(df.filter(F.col("epoch_hint") == int(ep)), epoch_id=i)
+        assert agg.refresh(spark) is True
+        got = {tuple(r) for r in agg.vocab(spark).collect()}
+        assert got == _vocab_recompute(spark, table), f"diverged at epoch {i}"
+    assert agg.refresh(spark) is False
+
+
+def test_token_vocab_hand_built_deltas(spark, tmp_path):
+    """Hand-built sequence exercising every delta path: repeated tokens
+    within a doc, an update that keeps/drops/adds tokens and changes a
+    kept token's occurrence count, a delete that removes a token's last
+    doc (the token must drop out of the state entirely)."""
+    import numpy as np
+    import pandas as pd
+
+    from binlake_spark.lake import TokenVocabAggregate
+
+    def ev(seq, op, doc, toks):
+        t = np.asarray(toks, dtype=np.int32)
+        return {
+            "seq": seq, "server_uuid": "s0", "gno": seq, "trx_id": seq,
+            "ts": pd.Timestamp("2026-01-01") + pd.Timedelta(seconds=seq),
+            "op": op, "doc_id": doc, "tokens": t, "n_tok": len(t),
+            "source": "web", "payload": t.astype("<i4").tobytes(),
+            "before_payload": None, "schema_ver": 0,
+            "extra": [], "epoch_hint": 0 if seq <= 100 else 1,
+        }
+
+    events = [
+        ev(10, "I", "a", [1, 1, 2]),       # tok 1 twice in one doc
+        ev(20, "I", "b", [2, 3]),
+        ev(30, "I", "c", [4]),
+        # epoch 1: a keeps 1 (now once), drops 2, adds 5; c deleted
+        # (tok 4's only doc); b untouched
+        ev(110, "U", "a", [1, 5, 5]),
+        ev(120, "D", "c", [4]),
+    ]
+    df = _log_df(spark, tmp_path, pd.DataFrame(events))
+    table = CdcEngine.create_table(str(tmp_path / "docs"), num_buckets=4)
+    engine = CdcEngine(table)
+    agg = TokenVocabAggregate(table, str(tmp_path / "vocab"))
+
+    engine.apply_batch(df.filter(F.col("epoch_hint") == 0), epoch_id=0)
+    agg.refresh(spark)
+    assert {tuple(r) for r in agg.vocab(spark).collect()} == {
+        (1, 1, 2), (2, 2, 2), (3, 1, 1), (4, 1, 1),
+    }
+
+    engine.apply_batch(df.filter(F.col("epoch_hint") == 1), epoch_id=1)
+    agg.refresh(spark)
+    assert {tuple(r) for r in agg.vocab(spark).collect()} == {
+        (1, 1, 1), (2, 1, 1), (3, 1, 1), (5, 1, 2),
+    }
+
+
+def test_token_vocab_refresh_does_not_rescan_base_table(spark, tmp_path):
+    """The vocab window plan must read only the changed buckets' files
+    (via the feed) and the old state — never the full base table."""
+    import os
+
+    from binlake_spark.lake import TokenVocabAggregate
+
+    pdf = generate_change_log(GenSpec(n_docs=60, n_events=1200))
+    one = pdf["doc_id"].iloc[0]
+    table = CdcEngine.create_table(str(tmp_path / "docs"), num_buckets=8)
+    engine = CdcEngine(table)
+    engine.apply_batch(
+        _log_df(spark, tmp_path, pdf[pdf["doc_id"] != one], "log_p"), epoch_id=0
+    )
+    agg = TokenVocabAggregate(table, str(tmp_path / "vocab"))
+    agg.refresh(spark)
+    v_a = int(table.snapshot()["version"])
+    engine.apply_batch(
+        _log_df(spark, tmp_path, pdf[pdf["doc_id"] == one], "log_s"), epoch_id=1
+    )
+
+    changed = table.changed_buckets(v_a)
+    assert len(changed) == 1
+    allowed = set()
+    for v in (v_a, int(table.snapshot()["version"])):
+        snap = table.snapshot(v)
+        b = str(changed[0])
+        for p in snap["files"].get(b, []) + (snap.get("deltas") or {}).get(b, []):
+            allowed.add(os.path.join(table.root, p))
+    st = agg.read(spark)
+    allowed |= {f.replace("file://", "").replace("file:", "") for f in st.inputFiles()}
+
+    changes = table.read_changes(spark, from_version=v_a, with_preimage=True)
+    window = agg._aggregate(agg._deltas(changes))
+    merged = st.unionByName(window).groupBy("tok").agg(
+        F.sum("n_rows").alias("n_rows"), F.sum("n_occ").alias("n_occ")
+    )
+    scanned = {f.replace("file://", "").replace("file:", "") for f in merged.inputFiles()}
+    assert scanned and scanned <= allowed
