@@ -1,6 +1,10 @@
 from binlake_spark.lake.table import LakeTable
 from binlake_spark.lake.feed import ChangeFeedReader, FeedBehindRetention
-from binlake_spark.lake.ivm import FeedAggregate, TokenVocabAggregate
+from binlake_spark.lake.ivm import (
+    FeedAggregate,
+    TokenVocabAggregate,
+    token_vocab_drift,
+)
 from binlake_spark.lake.merge import (
     compact_buckets,
     merge_into,
@@ -18,4 +22,5 @@ __all__ = [
     "merge_into",
     "merge_into_mor",
     "rebucket",
+    "token_vocab_drift",
 ]

@@ -252,38 +252,90 @@ class TokenVocabAggregate(FeedAggregate):
         super().__init__(table, path, group_cols=["tok"], sums={"n_occ": tokens_col})
         self.tokens_col = tokens_col
 
-    def _contribs(self, df: DataFrame, tokens: F.Column, sign: int) -> DataFrame:
+    def _contribs(self, df: DataFrame, tokens, sign: int) -> DataFrame:
         key = self.table.snapshot()["key_col"]
-        per_doc = (
-            df.select(F.col(key).alias("_k"), F.explode(tokens).alias("tok"))
-            .groupBy("_k", "tok")
-            .agg(F.count(F.lit(1)).alias("_occ"))
-        )
-        return per_doc.select(
-            "tok",
-            F.lit(sign).cast("long").alias("_d_rows"),
-            (F.lit(sign) * F.col("_occ")).cast("long").alias("_d_n_occ"),
-        )
+        return _token_contribs(df, key, tokens, sign)
 
     def _bootstrap_contribs(self, base: DataFrame) -> DataFrame:
         return self._contribs(base, F.col(self.tokens_col), 1)
 
     def _deltas(self, changes: DataFrame) -> DataFrame:
-        t = self.tokens_col
-        op = F.col("_change_op")
-        post = self._contribs(changes.filter(op.isin("I", "U")), F.col(t), 1)
-        # D rows carry the preimage at top level; U preimages live in _pre
-        dele = self._contribs(changes.filter(op == "D"), F.col(t), -1)
-        upd_pre = self._contribs(
-            changes.filter(op == "U"), F.col(f"_pre.{t}"), -1
+        return _token_change_contribs(
+            changes, self.table.snapshot()["key_col"], self.tokens_col
         )
-        return post.unionByName(dele).unionByName(upd_pre)
 
     def vocab(self, spark: SparkSession) -> DataFrame:
         """The current vocabulary: (tok, n_docs, n_occ)."""
         return self.read(spark).select(
             "tok", F.col("n_rows").alias("n_docs"), F.col("n_occ")
         )
+
+
+def _token_contribs(df: DataFrame, key_col: str, tokens, sign: int) -> DataFrame:
+    """(doc, token)-pre-aggregated signed contributions of one image set:
+    one output row per (doc, distinct token) with ±1 doc and
+    ±occurrences — the shuffle is bounded by the images' token content,
+    never the corpus."""
+    per_doc = (
+        df.select(F.col(key_col).alias("_k"), F.explode(tokens).alias("tok"))
+        .groupBy("_k", "tok")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+    )
+    return per_doc.select(
+        "tok",
+        F.lit(sign).cast("long").alias("_d_rows"),
+        (F.lit(sign) * F.col("_occ")).cast("long").alias("_d_n_occ"),
+    )
+
+
+def _token_change_contribs(
+    changes: DataFrame, key_col: str, tokens_col: str
+) -> DataFrame:
+    """Change-feed rows → signed per-token contributions (+post for I/U,
+    −pre for U/D).  D rows carry the preimage at top level; U preimages
+    live in ``_pre``."""
+    op = F.col("_change_op")
+    t = tokens_col
+    post = _token_contribs(changes.filter(op.isin("I", "U")), key_col, F.col(t), 1)
+    dele = _token_contribs(changes.filter(op == "D"), key_col, F.col(t), -1)
+    upd_pre = _token_contribs(
+        changes.filter(op == "U"), key_col, F.col(f"_pre.{t}"), -1
+    )
+    return post.unionByName(dele).unionByName(upd_pre)
+
+
+def token_vocab_drift(
+    spark: SparkSession,
+    table: LakeTable,
+    from_version: int,
+    to_version: int | None = None,
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Net per-token histogram drift between two committed versions —
+    the corpus-drift monitor a data pipeline runs between training
+    snapshots ("which tokens got more/less common, which appeared or
+    vanished?") — computed ONLY from the change feed, never by scanning
+    either snapshot: cost ∝ changed buckets (manifest-pruned), exactly
+    like a :class:`TokenVocabAggregate` refresh window.
+
+    Returns (tok, d_docs, d_occ): the signed change in document frequency
+    and occurrence count, zero-net tokens dropped.  By the IVM delta
+    algebra this equals the full histogram diff hist(to) − hist(from)
+    bit-exactly (driver query ``tok_vocab_drift`` proves it against an
+    independent two-full-scan oracle)."""
+    changes = table.read_changes(
+        spark, from_version=from_version, to_version=to_version, with_preimage=True
+    )
+    key = table.snapshot(to_version)["key_col"]
+    return (
+        _token_change_contribs(changes, key, tokens_col)
+        .groupBy("tok")
+        .agg(
+            F.sum("_d_rows").alias("d_docs"),
+            F.sum("_d_n_occ").alias("d_occ"),
+        )
+        .filter((F.col("d_docs") != 0) | (F.col("d_occ") != 0))
+    )
 
 
 def _rewrite_pre(expr: str, table: LakeTable) -> str:

@@ -1281,6 +1281,79 @@ def tok_vocab_ivm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Vocab drift between snapshots: computed ONLY from the change feed in
+# Spark; the oracle recomputes BOTH full histograms (prefix LWW state
+# and final LWW state) and diffs them — matching proves feed deltas ≡
+# full-scan diff.
+_TOK_VOCAB_DRIFT_ORACLE_SQL = f"""
+    WITH log AS ({_SHARED_LOG_SQL}),
+    valid AS (
+      SELECT * FROM log
+      WHERE op IN ('I','U','D') AND octet_length(payload) = n_tok * 4
+    ),
+    cut AS (SELECT max(seq) AS s FROM log WHERE epoch_hint <= 1),
+    a AS (
+      SELECT * FROM (
+        SELECT v.*, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+        FROM valid v WHERE seq <= (SELECT s FROM cut)
+      ) WHERE rn = 1 AND op <> 'D'
+    ),
+    b AS (
+      SELECT * FROM (
+        SELECT v.*, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+        FROM valid v
+      ) WHERE rn = 1 AND op <> 'D'
+    ),
+    ha AS (
+      SELECT tok, count(DISTINCT doc_id) AS nd, count(*) AS no
+      FROM (SELECT doc_id, unnest(tokens) AS tok FROM a) GROUP BY tok
+    ),
+    hb AS (
+      SELECT tok, count(DISTINCT doc_id) AS nd, count(*) AS no
+      FROM (SELECT doc_id, unnest(tokens) AS tok FROM b) GROUP BY tok
+    )
+    SELECT coalesce(ha.tok, hb.tok) AS tok,
+           CAST(coalesce(hb.nd, 0) - coalesce(ha.nd, 0) AS BIGINT) AS d_docs,
+           CAST(coalesce(hb.no, 0) - coalesce(ha.no, 0) AS BIGINT) AS d_occ
+    FROM ha FULL OUTER JOIN hb ON ha.tok = hb.tok
+    WHERE coalesce(hb.nd, 0) <> coalesce(ha.nd, 0)
+       OR coalesce(hb.no, 0) <> coalesce(ha.no, 0)
+"""
+
+
+@_register("tok_vocab_drift", _TOK_VOCAB_DRIFT_ORACLE_SQL)
+def tok_vocab_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-drift monitor between training snapshots
+    (lake/ivm.py:token_vocab_drift): the net per-token histogram change
+    from the epoch-1 snapshot to CURRENT, computed purely from the
+    change feed (manifest-pruned to moved buckets — never a scan of
+    either snapshot).  The oracle computes both full histograms from
+    independent LWW replays and diffs them; the hash match proves
+    feed-delta drift ≡ full-scan diff, bit-exactly."""
+    import tempfile
+
+    from binlake_spark.changelog.generator import CHANGE_LOG_SCHEMA
+    from binlake_spark.lake import token_vocab_drift
+    from binlake_spark.streaming import CdcEngine
+
+    src = _shared_log(sf_dir)
+    log = spark.read.schema(CHANGE_LOG_SCHEMA).parquet(src)
+    cut = int(
+        log.filter(F.col("epoch_hint") <= 1).agg(F.max("seq")).collect()[0][0]
+    )
+    work = tempfile.mkdtemp(prefix="binlake_driver_drift_")
+    table = CdcEngine.create_table(f"{work}/docs", num_buckets=16)
+    engine = CdcEngine(table)
+    engine.apply_batch(log.filter(F.col("seq") <= cut), epoch_id=0)
+    v_a = int(table.snapshot()["version"])
+    engine.run_batch_replay(spark, src, from_seq=cut + 1)
+    return token_vocab_drift(spark, table, from_version=v_a).select(
+        "tok",
+        F.col("d_docs").cast("long").alias("d_docs"),
+        F.col("d_occ").cast("long").alias("d_occ"),
+    )
+
+
 # --------------------------------------------------------------------- #
 # Multimodal plumbing (binary payload stats)
 # --------------------------------------------------------------------- #

@@ -356,3 +356,35 @@ def test_token_vocab_refresh_does_not_rescan_base_table(spark, tmp_path):
     )
     scanned = {f.replace("file://", "").replace("file:", "") for f in merged.inputFiles()}
     assert scanned and scanned <= allowed
+
+
+def test_token_vocab_drift_equals_full_histogram_diff(spark, tmp_path):
+    from binlake_spark.lake import token_vocab_drift
+
+    pdf = generate_change_log(
+        GenSpec(n_docs=40, n_events=1000, events_per_epoch=250,
+                retransmit_frac=0.1, evolution_at=500)
+    )
+    df = _log_df(spark, tmp_path, pdf)
+    table = CdcEngine.create_table(str(tmp_path / "docs"), num_buckets=8)
+    engine = CdcEngine(table)
+    engine.apply_batch(df.filter(F.col("epoch_hint") == 0), epoch_id=0)
+    v_a = int(table.snapshot()["version"])
+    h_a = _vocab_recompute(spark, table)
+    for i, ep in enumerate(sorted(pdf["epoch_hint"].unique())[1:], start=1):
+        engine.apply_batch(df.filter(F.col("epoch_hint") == int(ep)), epoch_id=i)
+    h_b = _vocab_recompute(spark, table)
+
+    a = {t: (nd, no) for t, nd, no in h_a}
+    b = {t: (nd, no) for t, nd, no in h_b}
+    want = {}
+    for t in set(a) | set(b):
+        dd = b.get(t, (0, 0))[0] - a.get(t, (0, 0))[0]
+        do = b.get(t, (0, 0))[1] - a.get(t, (0, 0))[1]
+        if dd or do:
+            want[t] = (dd, do)
+    got = {
+        r.tok: (r.d_docs, r.d_occ)
+        for r in token_vocab_drift(spark, table, from_version=v_a).collect()
+    }
+    assert got == want
