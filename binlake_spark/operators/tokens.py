@@ -242,6 +242,76 @@ def bpe_pair_counts(
     )
 
 
+def bpe_apply_merge(
+    df: DataFrame,
+    tok_a: int,
+    tok_b: int,
+    new_id: int,
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Rewrite every token array by one BPE merge rule: each
+    left-to-right non-overlapping occurrence of the adjacent pair
+    (``tok_a``, ``tok_b``) becomes ``new_id`` — exact standard BPE
+    semantics including the a,a,a run case (a fold can't re-consume the
+    symbol it just produced).
+
+    Stays in JVM codegen via ``aggregate`` (a per-row fold); the fold
+    copies the accumulator per element, so the per-document cost is
+    O(len²) array copies — documents are bounded (pretraining corpora
+    chunk them), and no shuffle is involved at all: the rewrite is a
+    pure map stage."""
+    t, a, b, c = tokens_col, int(tok_a), int(tok_b), int(new_id)
+    merged = F.expr(
+        f"""aggregate({t}, cast(array() as array<int>), (acc, x) ->
+              CASE WHEN size(acc) > 0 AND element_at(acc, -1) = {a}
+                        AND x = {b}
+                   THEN concat(slice(acc, 1, size(acc) - 1),
+                               array(cast({c} as int)))
+                   ELSE concat(acc, array(x)) END)"""
+    )
+    out = df.withColumn(t, merged)
+    if "n_tok" in df.columns:
+        out = out.withColumn("n_tok", F.size(t))
+    return out
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int,
+    tokens_col: str = "tokens",
+    first_new_id: int = 65536,
+) -> tuple[list[tuple[int, int, int, int]], DataFrame]:
+    """Distributed BPE vocabulary training: ``n_merges`` rounds, each
+    counting adjacent pairs corpus-wide (the oracle-checked
+    :func:`bpe_pair_counts` plan), promoting the globally most frequent
+    pair (ties: lowest tok_a, then tok_b — deterministic across runs and
+    cluster sizes) to a fresh id, and rewriting the corpus with
+    :func:`bpe_apply_merge`.  Stops early when no pair occurs twice.
+
+    Returns ``(merges, df_final)`` where merges is
+    ``[(tok_a, tok_b, new_id, n_pairs), ...]`` in training order.
+
+    Scale shape per round: one partial-aggregated pair count (shuffle
+    bounded by distinct-pair cardinality, not corpus size), a 1-row
+    collect, and a shuffle-free map-stage rewrite.  The rewritten corpus
+    is localCheckpoint-ed each round so round k costs O(corpus), not
+    O(k · corpus) replans — the same flat-iteration pattern as IVF
+    Lloyd training (operators/ivf.py)."""
+    cur = df
+    merges: list[tuple[int, int, int, int]] = []
+    for k in range(int(n_merges)):
+        top = bpe_pair_counts(cur, tokens_col=tokens_col, top_k=1).collect()
+        if not top or top[0].n_pairs < 2:
+            break
+        a, b, n = int(top[0].tok_a), int(top[0].tok_b), int(top[0].n_pairs)
+        new_id = first_new_id + k
+        merges.append((a, b, new_id, n))
+        cur = bpe_apply_merge(
+            cur, a, b, new_id, tokens_col=tokens_col
+        ).localCheckpoint(eager=True)
+    return merges, cur
+
+
 def dup_token_windows(
     df: DataFrame,
     window: int = 8,

@@ -411,3 +411,58 @@ def test_pack_sequences_single_exchange(docs):
         tokenize(docs.select("doc_id", "text", "source"))
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 1, plan
+
+
+def test_bpe_apply_merge_edge_cases(spark):
+    from binlake_spark.operators.tokens import bpe_apply_merge
+
+    data = [(1, [1, 1, 1]), (2, [1, 2, 1, 2]), (3, []), (4, [2]), (5, [1, 2, 2])]
+    df = spark.createDataFrame(data, "doc_id int, tokens array<int>")
+    out = {r.doc_id: r.tokens for r in bpe_apply_merge(df, 1, 2, 99).collect()}
+    assert out == {1: [1, 1, 1], 2: [99, 99], 3: [], 4: [2], 5: [99, 2]}
+    # overlapping-run rule: left-to-right non-overlapping (a,a,a -> c,a)
+    out2 = {r.doc_id: r.tokens for r in bpe_apply_merge(df, 1, 1, 99).collect()}
+    assert out2 == {1: [99, 1], 2: [1, 2, 1, 2], 3: [], 4: [2], 5: [1, 2, 2]}
+
+
+def test_bpe_train_matches_reference_trainer(docs):
+    from collections import Counter
+
+    from binlake_spark.operators.tokens import bpe_train, tokenize
+
+    t = tokenize(docs.select("doc_id", "text"))
+    corpus = {r.doc_id: list(r.tokens) for r in t.collect()}
+    K = 6
+    merges, final = bpe_train(t, n_merges=K)
+
+    def apply_merge(toks, a, b, c):
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                out.append(c)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        return out
+
+    exp_merges, cur = [], corpus
+    for k in range(K):
+        cnt = Counter()
+        for toks in cur.values():
+            cnt.update(zip(toks, toks[1:]))
+        if not cnt:
+            break
+        n = max(cnt.values())
+        if n < 2:
+            break
+        a, b = min(p for p, c in cnt.items() if c == n)
+        new_id = 65536 + k
+        exp_merges.append((a, b, new_id, n))
+        cur = {d: apply_merge(toks, a, b, new_id) for d, toks in cur.items()}
+
+    assert merges == exp_merges
+    got_final = {r.doc_id: list(r.tokens) for r in final.collect()}
+    assert got_final == cur
+    # merged symbols actually appear in the rewritten corpus
+    assert any(65536 in toks for toks in got_final.values())
