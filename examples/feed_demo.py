@@ -10,6 +10,10 @@ each epoch drives all four consumer surfaces:
 - **incremental view maintenance** (`FeedAggregate`) — a per-source
   rollup refreshed from feed deltas only, verified against a
   from-scratch recompute every epoch,
+- **token-vocabulary IVM** (`TokenVocabAggregate`) — the per-token
+  (doc-freq, occurrences) histogram a tokenizer trainer reads, kept
+  current from feed deltas only, verified against an explode recompute
+  every epoch,
 - **point lookup + snapshot tags** — bucket-pruned key reads and a
   pinned pre-replay tag read back at the end.
 
@@ -24,7 +28,12 @@ from pyspark.sql import functions as F
 
 from binlake_spark.changelog import GenSpec, generate_change_log, write_change_log
 from binlake_spark.changelog.generator import CHANGE_LOG_SCHEMA
-from binlake_spark.lake import ChangeFeedReader, FeedAggregate, LakeTable
+from binlake_spark.lake import (
+    ChangeFeedReader,
+    FeedAggregate,
+    LakeTable,
+    TokenVocabAggregate,
+)
 from binlake_spark.session import get_spark
 from binlake_spark.streaming import CdcEngine
 
@@ -49,6 +58,20 @@ def rollup(spark, t):
     }
 
 
+def vocab_recompute(spark, t):
+    return {
+        tuple(r)
+        for r in t.read(spark)
+        .select("doc_id", F.explode("tokens").alias("tok"))
+        .groupBy("tok")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occ"),
+        )
+        .collect()
+    }
+
+
 def main() -> int:
     work = tempfile.mkdtemp(prefix="binlake_feed_demo_")
     spark = get_spark("feed_demo", cpus=8, shuffle_partitions=8)
@@ -67,6 +90,7 @@ def main() -> int:
     )
     reader = ChangeFeedReader(src, consumer_id="repl")
     agg = FeedAggregate(src, f"{work}/ivm", ["source"], {"sum_n_tok": "n_tok"})
+    vocab = TokenVocabAggregate(src, f"{work}/vocab")
 
     epochs = sorted(int(e) for e in pdf["epoch_hint"].unique())
     tagged = False
@@ -83,7 +107,11 @@ def main() -> int:
         agg.refresh(spark)
         got = {tuple(r) for r in agg.read(spark).collect()}
         assert got == rollup(spark, src), f"rollup diverged at {i}"
-        print(f"epoch {i}: replica exact ✓  rollup exact ✓")
+
+        vocab.refresh(spark)
+        got_v = {tuple(r) for r in vocab.vocab(spark).collect()}
+        assert got_v == vocab_recompute(spark, src), f"vocab diverged at {i}"
+        print(f"epoch {i}: replica exact ✓  rollup exact ✓  vocab exact ✓")
 
     # point lookup: live keys answer, tombstoned keys are absent
     keys = sorted(pdf["doc_id"].unique())[:10]
