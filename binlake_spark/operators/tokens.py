@@ -327,42 +327,43 @@ def dup_token_windows(
     distinct-window count and how many of those windows also occur
     elsewhere.
 
-    Shape: each doc emits its window fingerprints (60-bit portable hash
-    of the id-joined span — fixed-width shuffle rows), a groupBy finds
-    fingerprints seen in ≥ 2 docs, and an equi-join back flags them.
-    Cost ∝ tokens / ``stride`` (the scale knob: production substring
-    dedup runs stride 4-16 then verifies hits), never all-pairs."""
-    t, W, S = tokens_col, int(window), int(stride)
+    Shape: each doc emits its window fingerprints ONCE (60-bit portable
+    hash of the id-joined span — fixed-width shuffle rows); a count over
+    a ``wh``-partitioned window flags fingerprints seen in ≥ 2 docs
+    without re-deriving or re-joining the (corpus-sized) fingerprint set
+    — one explode and three key-bounded shuffles total, vs the naive
+    groupBy + join-back which explodes the corpus twice and shuffles
+    five times.  Cost ∝ tokens / ``stride`` (the scale knob: production
+    substring dedup runs stride 4-16 then verifies hits), never
+    all-pairs."""
+    t, n, S = tokens_col, int(window), int(stride)
     span_hash = portable_hash(
         F.expr(
-            f"concat_ws(',', transform(slice({t}, i, {W}),"
+            f"concat_ws(',', transform(slice({t}, i, {n}),"
             f" x -> cast(x AS string)))"
         )
     )
     wins = (
-        df.filter(F.size(t) >= W)
+        df.filter(F.size(t) >= n)
         .select(
             F.col(id_col).alias("doc_id"),
             F.col(t),
             F.explode(
-                F.expr(f"sequence(1, size({t}) - {W} + 1, {S})")
+                F.expr(f"sequence(1, size({t}) - {n} + 1, {S})")
             ).alias("i"),
         )
         .select("doc_id", span_hash.alias("wh"))
         .distinct()
     )
-    shared = (
-        wins.groupBy("wh")
-        .agg(F.count(F.lit(1)).alias("n_docs_with"))
-        .filter(F.col("n_docs_with") >= 2)
-        .select("wh")
-    )
+    # wins is distinct per (doc, wh), so a plain count over the wh
+    # partition IS the number of docs carrying that window
+    n_with = F.count(F.lit(1)).over(W.partitionBy("wh"))
     return (
-        wins.join(shared.withColumn("_dup", F.lit(1)), "wh", "left")
+        wins.select("doc_id", n_with.alias("n_with"))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_win"),
-            F.count("_dup").alias("n_dup"),
+            F.sum((F.col("n_with") >= 2).cast("long")).alias("n_dup"),
         )
         .filter(F.col("n_dup") > 0)
     )

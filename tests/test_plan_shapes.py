@@ -180,3 +180,20 @@ def test_change_feed_scans_only_changed_bucket_files(spark, tmp_path):
     feed = table.read_changes(spark, from_version=v_a)
     scanned = {f.replace("file://", "").replace("file:", "") for f in feed.inputFiles()}
     assert scanned and scanned <= allowed
+
+
+def test_dup_token_windows_single_explode_bounded_exchanges(spark):
+    """Substring-dedup fingerprinting must derive the (corpus-sized)
+    window set exactly once: one Generate (explode), and at most three
+    exchanges (distinct, wh-window, doc groupBy) — no join-back
+    re-derivation."""
+    from binlake_spark.operators.tokens import dup_token_windows, tokenize
+
+    d = tokenize(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+            "doc_id", "text"
+        )
+    )
+    plan = dup_token_windows(d)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate") == 1, plan
+    assert plan.count("Exchange") <= 3, plan
