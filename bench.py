@@ -60,6 +60,8 @@ HEADLINE = [
     # pre-existing keys stay comparable round-over-round
     "tok_pack_sequences",
     "tok_contamination",
+    "tok_dup_windows",
+    "tok_bpe_pairs",
 ]
 
 

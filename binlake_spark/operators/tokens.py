@@ -77,6 +77,7 @@ def pack_sequences(
     source_col: str = "source",
     order_col: str = "doc_id",
     n_tok_col: str = "n_tok",
+    n_shards: int | None = None,
 ) -> DataFrame:
     """Pack the per-source document stream into fixed-``seq_len`` training
     windows (concat-then-chunk).  Returns one row per (source, seq_no)
@@ -87,18 +88,38 @@ def pack_sequences(
     ``sequence(first_window, last_window)`` — 1-2 rows for a typical doc,
     ``⌈n_tok/seq_len⌉+1`` for a long one — and a single groupBy
     aggregates window occupancy.  Token arrays are never exploded, so
-    the shuffle is sized in documents, not tokens."""
-    w = W.partitionBy(source_col).orderBy(order_col)
-    start = F.coalesce(
-        F.sum(n_tok_col).over(w.rowsBetween(W.unboundedPreceding, -1)),
-        F.lit(0),
-    ).cast("long")
+    the shuffle is sized in documents, not tokens.
+
+    ``n_shards`` is the 10^10-doc scale knob: a lone giant source would
+    otherwise serialize its whole cumsum into ONE sort partition.  When
+    set, documents are deterministically hash-sharded (portable hash of
+    the order column mod ``n_shards`` — stable across runs and cluster
+    sizes) and the running offset is partitioned by (source, shard);
+    output rows carry the extra ``shard`` column and window ids are
+    contiguous within each (source, shard) stream — the production
+    regime where each shard is an independent trainer stream."""
+    parts = [F.col(source_col).alias("source")]
+    keys = ["source"]
+    if n_shards is not None:
+        parts.append(
+            (portable_hash(F.col(order_col).cast("string")) % int(n_shards))
+            .cast("int")
+            .alias("shard")
+        )
+        keys.append("shard")
+    w = W.partitionBy(*keys).orderBy(order_col)
     placed = df.select(
-        F.col(source_col).alias("source"),
+        *parts,
         F.col(order_col).alias("doc_id"),
         F.col(n_tok_col).cast("long").alias("n_tok"),
-        start.alias("tok_start"),
-    ).withColumn("tok_end", F.col("tok_start") + F.col("n_tok") - 1)
+    )
+    start = F.coalesce(
+        F.sum("n_tok").over(w.rowsBetween(W.unboundedPreceding, -1)),
+        F.lit(0),
+    ).cast("long")
+    placed = placed.withColumn("tok_start", start).withColumn(
+        "tok_end", F.col("tok_start") + F.col("n_tok") - 1
+    )
 
     L = F.lit(seq_len).cast("long")
     spans = placed.filter(F.col("n_tok") > 0).withColumn(
@@ -121,7 +142,7 @@ def pack_sequences(
     )
     return (
         spans.withColumn("tok_in_seq", in_win)
-        .groupBy("source", "seq_no")
+        .groupBy(*keys, "seq_no")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("tok_in_seq").alias("n_tok_in_seq"),

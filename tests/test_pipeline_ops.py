@@ -466,3 +466,26 @@ def test_bpe_train_matches_reference_trainer(docs):
     assert got_final == cur
     # merged symbols actually appear in the rewritten corpus
     assert any(65536 in toks for toks in got_final.values())
+
+
+def test_pack_sequences_sharded_invariants(docs):
+    """n_shards: token conservation holds globally; window ids are
+    contiguous and all-but-last windows exactly full WITHIN each
+    (source, shard) stream; shard assignment is the portable hash."""
+    from binlake_spark.operators.tokens import pack_sequences, tokenize
+
+    L, K = 128, 4
+    t = tokenize(docs.select("doc_id", "text", "source"))
+    packed = pack_sequences(t, seq_len=L, n_shards=K).collect()
+    total_tok = t.agg(F.sum("n_tok")).collect()[0][0]
+    assert sum(r.n_tok_in_seq for r in packed) == total_tok
+    assert {r.shard for r in packed} <= set(range(K))
+    by_stream = {}
+    for r in packed:
+        by_stream.setdefault((r.source, r.shard), []).append(r)
+    assert len(by_stream) > 1
+    for (_src, _sh), rows in by_stream.items():
+        rows.sort(key=lambda r: r.seq_no)
+        assert [r.seq_no for r in rows] == list(range(len(rows)))
+        assert all(r.n_tok_in_seq == L for r in rows[:-1])
+        assert 0 < rows[-1].n_tok_in_seq <= L
