@@ -537,8 +537,22 @@ class CdcEngine:
         resume_retries: int = 2,
         retry_backoff_s: float = 2.0,
         verify_source: bool = True,
+        consumers: list | None = None,
     ):
         """Tail the change log with Structured Streaming.
+
+        ``consumers``: feed consumers (any object with ``refresh(spark)``
+        — :class:`~binlake_spark.lake.ivm.FeedAggregate`,
+        :class:`~binlake_spark.lake.ivm.TokenVocabAggregate`) refreshed
+        after every committed epoch, so downstream rollups track the
+        table in real time — the rebuild of the reference's per-epoch
+        produce→consumer push (ProduceTask.java:49-56 delivers each
+        batch to MQ subscribers that maintain exactly such rollups).
+        Exactly-once composes: each consumer advances from its OWN
+        atomically-published position to CURRENT, so a re-delivered
+        epoch (idempotent for the table) is a no-op refresh, and a crash
+        between table commit and refresh is healed by the next epoch's
+        refresh.
 
         ``available_now=True`` drains everything currently in the source
         and terminates (Trigger.AvailableNow — the terminal-GTID analog,
@@ -567,6 +581,8 @@ class CdcEngine:
 
         def feb(batch_df: DataFrame, epoch_id: int):
             self.apply_batch(batch_df, epoch_id)
+            for c in consumers or ():
+                c.refresh(spark)
 
         writer = (
             stream.writeStream.foreachBatch(feb)
