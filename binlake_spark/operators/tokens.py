@@ -46,6 +46,15 @@ def portable_hash(col: Column | str) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def shard_expr(key: Column | str, n_shards: int) -> Column:
+    """THE shard function: portable hash of the stringified key mod
+    ``n_shards``.  Shared by :func:`shard_assign` and
+    :func:`pack_sequences` so the balance one reports is the balance of
+    the streams the other produces."""
+    k = F.col(key) if isinstance(key, str) else key
+    return (portable_hash(k.cast("string")) % int(n_shards)).cast("int")
+
+
 def tokenize(
     df: DataFrame,
     text_col: str = "text",
@@ -101,13 +110,11 @@ def pack_sequences(
     parts = [F.col(source_col).alias("source")]
     keys = ["source"]
     if n_shards is not None:
-        parts.append(
-            (portable_hash(F.col(order_col).cast("string")) % int(n_shards))
-            .cast("int")
-            .alias("shard")
-        )
+        parts.append(shard_expr(order_col, n_shards).alias("shard"))
         keys.append("shard")
-    w = W.partitionBy(*keys).orderBy(order_col)
+    # the window resolves against `placed`, where the order column is
+    # already renamed to doc_id — order by the alias, not order_col
+    w = W.partitionBy(*keys).orderBy("doc_id")
     placed = df.select(
         *parts,
         F.col(order_col).alias("doc_id"),
@@ -319,6 +326,7 @@ def bpe_train(
     O(k · corpus) replans — the same flat-iteration pattern as IVF
     Lloyd training (operators/ivf.py)."""
     cur = df
+    prev = None  # previous round's checkpoint, released once superseded
     merges: list[tuple[int, int, int, int]] = []
     for k in range(int(n_merges)):
         top = bpe_pair_counts(cur, tokens_col=tokens_col, top_k=1).collect()
@@ -330,6 +338,12 @@ def bpe_train(
         cur = bpe_apply_merge(
             cur, a, b, new_id, tokens_col=tokens_col
         ).localCheckpoint(eager=True)
+        # the new checkpoint is materialized (eager) and does not depend
+        # on the previous one — unpersist it, or k rounds pin k corpus
+        # copies in block-manager storage
+        if prev is not None:
+            prev.unpersist()
+        prev = cur
     return merges, cur
 
 
@@ -407,9 +421,11 @@ def shard_assign(
     assumes).  The physical write is ``df.repartition(n_shards, shard)``
     + sortWithinPartitions — same column, no extra shuffle."""
     K = int(n_shards)
-    shard = (portable_hash(F.col(id_col).cast("string")) % K).cast("int")
     per = (
-        df.select(shard.alias("shard"), F.col(n_tok_col).cast("long").alias("n_tok"))
+        df.select(
+            shard_expr(id_col, K).alias("shard"),
+            F.col(n_tok_col).cast("long").alias("n_tok"),
+        )
         .groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -422,8 +438,12 @@ def shard_assign(
         "n_docs",
         "shard_tok",
         # ‰ of ideal, floor-divided in BIGINT (`DIV`, never double
-        # division — exact past 2^53 and identical to DuckDB's `//`)
-        F.expr(f"shard_tok * {K} * 1000 DIV _total").alias("balance_pml"),
+        # division — exact past 2^53 and identical to DuckDB's `//`);
+        # a token-empty corpus yields 0‰, not NULL/divide-by-zero
+        F.expr(
+            f"CASE WHEN _total > 0 THEN shard_tok * {K} * 1000 DIV _total"
+            f" ELSE 0 END"
+        ).alias("balance_pml"),
     )
 
 
@@ -455,8 +475,14 @@ def mixture_weights(
         .select(
             "source",
             "n_tok",
-            F.expr("s * 1000000 DIV _den").alias("weight_ppm"),
-            F.expr(f"s * {B} DIV _den").alias("tok_alloc"),
+            # a token-empty corpus (every s = 0) gets zero weights, not
+            # NULL/divide-by-zero
+            F.expr(
+                "CASE WHEN _den > 0 THEN s * 1000000 DIV _den ELSE 0 END"
+            ).alias("weight_ppm"),
+            F.expr(
+                f"CASE WHEN _den > 0 THEN s * {B} DIV _den ELSE 0 END"
+            ).alias("tok_alloc"),
         )
     )
 

@@ -73,18 +73,25 @@ def main() -> int:
     assert n_flagged > 0  # leaks share all their windows with bench docs
     print(f"window screen: {n_flagged} docs carry cross-doc 8-token spans ✓")
 
-    # 3. contamination: every planted leak is caught, originals survive
+    # 3. contamination: every planted leak is caught — and the benchmark
+    # members themselves (containment 1.0 against their own grams) are
+    # flagged too, which is the POINT of the screen: neither a benchmark
+    # doc nor a near-copy of one may reach the trainer
     screened = contamination(deduped.select("doc_id", "text"), bench, n=5,
                              threshold=0.5)
     dirty = {r.doc_id for r in screened.collect()}
-    planted = {r.doc_id + 2_000_000 for r in bench.collect()}
+    bench_ids = {r.doc_id for r in bench.collect()}
+    planted = {d + 2_000_000 for d in bench_ids}
     assert planted <= dirty, f"missed {len(planted - dirty)} planted leaks"
+    assert bench_ids <= dirty, "benchmark members must be screened out too"
     clean = deduped.join(
         screened.select("doc_id"), "doc_id", "left_anti"
     )
     assert clean.filter(F.col("doc_id") >= 2_000_000).count() == 0
-    print(f"contamination screen: {len(dirty)} flagged, "
-          f"all {len(planted)} planted leaks caught ✓")
+    n_other = len(dirty) - len(planted) - len(bench_ids)
+    print(f"contamination screen: {len(planted)} planted leaks + "
+          f"{len(bench_ids)} benchmark members caught, "
+          f"{n_other} incidental overlaps ✓")
 
     # 4-5. mixture weights over the clean corpus, then sample each source
     # at its allocated rate

@@ -86,25 +86,28 @@ def main() -> int:
                 epoch_id=1,
             )
             dirty = table.changed_buckets(1)
-            # timed: incremental refresh of the one-bucket window.  rep 1
-            # is the real refresh; refresh() only advances once, so later
-            # reps re-time the identical window plan.
-            best_inc = None
-            for rep in range(max(1, REPS)):
-                if rep == 0:
-                    t0 = time.monotonic()
-                    assert vocab.refresh(spark) is True
-                    dt = time.monotonic() - t0
-                else:
-                    changes = table.read_changes(
-                        spark, from_version=1, with_preimage=True
-                    )
-                    t0 = time.monotonic()
-                    vocab._aggregate(vocab._deltas(changes)).write.mode(
-                        "overwrite"
-                    ).format("noop").save()
-                    dt = time.monotonic() - t0
-                best_inc = dt if best_inc is None else min(best_inc, dt)
+            # timed: the REAL refresh (feed read + delta agg + old-state
+            # merge + state write + publish).  refresh() advances exactly
+            # once, so it cannot be repped — it is a single measurement;
+            # the probes mark whether the window was quiet.
+            t0 = time.monotonic()
+            assert vocab.refresh(spark) is True
+            refresh_sec = time.monotonic() - t0
+            # secondary, best-of-REPS: the window's delta plan alone
+            # (read_changes → per-token deltas), the part whose cost the
+            # ∝-changed-buckets claim is about — NOT comparable to
+            # refresh_sec, which adds the state merge + write
+            best_win = None
+            for _ in range(max(1, REPS)):
+                changes = table.read_changes(
+                    spark, from_version=1, with_preimage=True
+                )
+                t0 = time.monotonic()
+                vocab._aggregate(vocab._deltas(changes)).write.mode(
+                    "overwrite"
+                ).format("noop").save()
+                dt = time.monotonic() - t0
+                best_win = dt if best_win is None else min(best_win, dt)
 
             # contrast: from-scratch recompute over the full table
             best_full = None
@@ -132,7 +135,8 @@ def main() -> int:
                     "table_rows": int(table.read(spark).count()),
                     "epoch_events": int(len(ep)),
                     "dirty_buckets": len(dirty),
-                    "refresh_sec": round(best_inc, 3),
+                    "refresh_sec": round(refresh_sec, 3),
+                    "window_plan_sec": round(best_win, 3),
                     "full_recompute_sec": round(best_full, 3),
                 }
             )

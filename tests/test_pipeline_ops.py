@@ -489,3 +489,32 @@ def test_pack_sequences_sharded_invariants(docs):
         assert [r.seq_no for r in rows] == list(range(len(rows)))
         assert all(r.n_tok_in_seq == L for r in rows[:-1])
         assert 0 < rows[-1].n_tok_in_seq <= L
+
+
+def test_pack_sequences_non_default_order_col(docs):
+    """Regression: the cumsum window must resolve after the order column
+    is renamed to doc_id (a non-default order_col used to crash)."""
+    from binlake_spark.operators.tokens import pack_sequences, tokenize
+
+    t = tokenize(docs.select("doc_id", "text", "source")).withColumnRenamed(
+        "doc_id", "my_id"
+    )
+    packed = pack_sequences(t, seq_len=128, order_col="my_id").collect()
+    total_tok = t.agg(F.sum("n_tok")).collect()[0][0]
+    assert sum(r.n_tok_in_seq for r in packed) == total_tok
+
+
+def test_token_budget_ops_zero_token_corpus(spark):
+    """A corpus whose every token array is empty must yield zero weights
+    and balances, not NULLs or divide-by-zero."""
+    from binlake_spark.operators.tokens import mixture_weights, shard_assign
+
+    df = spark.createDataFrame(
+        [(f"d{i}", "web" if i % 2 else "books", 0) for i in range(8)],
+        "doc_id string, source string, n_tok long",
+    )
+    mw = mixture_weights(df, token_budget=1000).collect()
+    assert {(r.weight_ppm, r.tok_alloc) for r in mw} == {(0, 0)}
+    sa = shard_assign(df, n_shards=4).collect()
+    assert all(r.balance_pml == 0 for r in sa)
+    assert sum(r.n_docs for r in sa) == 8
