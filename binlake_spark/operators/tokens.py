@@ -347,6 +347,78 @@ def bpe_train(
     return merges, cur
 
 
+def window_fingerprints(
+    df: DataFrame,
+    window: int = 8,
+    stride: int = 1,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distinct (doc_id, wh) window fingerprints: each doc's
+    ``window``-token spans every ``stride`` positions, hashed to a 60-bit
+    portable id (fixed-width shuffle rows; reproducible in DuckDB).  The
+    shared candidate generator for :func:`dup_token_windows` and
+    :func:`dup_doc_pairs`."""
+    t, n, S = tokens_col, int(window), int(stride)
+    span_hash = portable_hash(
+        F.expr(
+            f"concat_ws(',', transform(slice({t}, i, {n}),"
+            f" x -> cast(x AS string)))"
+        )
+    )
+    return (
+        df.filter(F.size(t) >= n)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(t),
+            F.explode(
+                F.expr(f"sequence(1, size({t}) - {n} + 1, {S})")
+            ).alias("i"),
+        )
+        .select("doc_id", span_hash.alias("wh"))
+        .distinct()
+    )
+
+
+def dup_doc_pairs(
+    df: DataFrame,
+    window: int = 8,
+    stride: int = 1,
+    min_shared: int = 3,
+    max_df: int | None = 50,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Doc-level near-duplicate PAIRS from shared token windows — the
+    pair-resolution stage of substring dedup (after
+    :func:`dup_token_windows` flags that duplication exists, this says
+    WHICH documents to collapse): (doc_a, doc_b, n_shared) for every
+    pair sharing ≥ ``min_shared`` distinct ``window``-token spans,
+    doc_a < doc_b.
+
+    Scale shape: a posting-list equi-join on the window fingerprint —
+    the same bounded-blowup design as ngram Jaccard: windows carried by
+    more than ``max_df`` docs are dropped first (boilerplate
+    stop-windows; a window shared by k docs would otherwise emit k²/2
+    pairs), so the self-join output is ≤ |windows| · max_df and never
+    all-pairs."""
+    wins = window_fingerprints(df, window, stride, tokens_col, id_col)
+    n_with = F.count(F.lit(1)).over(W.partitionBy("wh"))
+    cond = F.col("_df") >= 2
+    if max_df is not None:
+        cond = cond & (F.col("_df") <= int(max_df))
+    kept = wins.select("doc_id", "wh", n_with.alias("_df")).filter(cond)
+    a = kept.select(F.col("doc_id").alias("doc_a"), "wh")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "wh")
+    return (
+        a.join(b, "wh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+    )
+
+
 def dup_token_windows(
     df: DataFrame,
     window: int = 8,
@@ -371,25 +443,7 @@ def dup_token_windows(
     five times.  Cost ∝ tokens / ``stride`` (the scale knob: production
     substring dedup runs stride 4-16 then verifies hits), never
     all-pairs."""
-    t, n, S = tokens_col, int(window), int(stride)
-    span_hash = portable_hash(
-        F.expr(
-            f"concat_ws(',', transform(slice({t}, i, {n}),"
-            f" x -> cast(x AS string)))"
-        )
-    )
-    wins = (
-        df.filter(F.size(t) >= n)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.col(t),
-            F.explode(
-                F.expr(f"sequence(1, size({t}) - {n} + 1, {S})")
-            ).alias("i"),
-        )
-        .select("doc_id", span_hash.alias("wh"))
-        .distinct()
-    )
+    wins = window_fingerprints(df, window, stride, tokens_col, id_col)
     # wins is distinct per (doc, wh), so a plain count over the wh
     # partition IS the number of docs carrying that window
     n_with = F.count(F.lit(1)).over(W.partitionBy("wh"))

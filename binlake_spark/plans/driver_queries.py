@@ -2934,6 +2934,57 @@ def tok_dup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "tok_dup_pairs",
+    f"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '),
+               w -> {_PORTABLE_TOK_SQL}) AS toks
+      FROM (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        WHERE doc_id % 83 = 0
+      )
+    ),
+    wins AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(array_to_string(toks[i:i+7], ',')), 1, 15))::BIGINT AS wh
+      FROM tk, LATERAL (
+        SELECT unnest(generate_series(1, len(toks) - 7, 1)) AS i
+      ) starts
+      WHERE len(toks) >= 8
+    ),
+    kept AS (
+      SELECT doc_id, wh FROM (
+        SELECT doc_id, wh, count(*) OVER (PARTITION BY wh) AS df
+        FROM wins
+      ) WHERE df BETWEEN 2 AND 50
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM kept a JOIN kept b ON a.wh = b.wh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 3
+    """,
+)
+def tok_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-dedup pair resolution (operators/tokens.py:
+    dup_doc_pairs): doc pairs sharing ≥ 3 distinct 8-token windows, with
+    planted clones (every 83rd doc) that must surface.  Posting-list
+    self-join on the 60-bit window fingerprint with a df ≤ 50
+    stop-window cap in BOTH engines — the join output is bounded by
+    |windows| · max_df, never all-pairs."""
+    from binlake_spark.operators.tokens import dup_doc_pairs, tokenize
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = base.filter(F.col("doc_id") % 83 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    d = tokenize(base.unionByName(clones))
+    return dup_doc_pairs(d, window=8, stride=1, min_shared=3, max_df=50)
+
+
+@_register(
     "tok_shard_balance",
     """
     WITH assigned AS (

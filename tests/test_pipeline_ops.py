@@ -518,3 +518,45 @@ def test_token_budget_ops_zero_token_corpus(spark):
     sa = shard_assign(df, n_shards=4).collect()
     assert all(r.balance_pml == 0 for r in sa)
     assert sum(r.n_docs for r in sa) == 8
+
+
+def test_dup_doc_pairs_matches_bruteforce(docs):
+    from collections import Counter, defaultdict
+
+    from binlake_spark.operators.tokens import dup_doc_pairs, tokenize
+
+    Wn, MIN_SHARED, MAX_DF = 8, 2, 50
+    base = docs.select("doc_id", "text")
+    cloned = base.unionAll(
+        base.filter(F.col("doc_id") % 83 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    t = tokenize(cloned)
+    got = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in dup_doc_pairs(
+            t, window=Wn, stride=1, min_shared=MIN_SHARED, max_df=MAX_DF
+        ).collect()
+    }
+
+    wins = {}
+    for r in t.select("doc_id", "tokens").collect():
+        if len(r.tokens) >= Wn:
+            wins[r.doc_id] = {
+                tuple(r.tokens[i : i + Wn]) for i in range(len(r.tokens) - Wn + 1)
+            }
+    df_count = Counter(w for ws in wins.values() for w in ws)
+    shared = defaultdict(int)
+    for w, k in df_count.items():
+        if 2 <= k <= MAX_DF:
+            members = sorted(d for d, ws in wins.items() if w in ws)
+            for i, da in enumerate(members):
+                for db in members[i + 1 :]:
+                    shared[(da, db)] += 1
+    exp = {p: n for p, n in shared.items() if n >= MIN_SHARED}
+    assert got == exp
+    # every planted clone pair is resolved
+    for d in wins:
+        if d >= 1000000 and len(wins[d]) >= MIN_SHARED:
+            assert (d - 1000000, d) in got
