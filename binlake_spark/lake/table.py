@@ -546,6 +546,38 @@ class LakeTable:
         self._write_snapshot(snap)
         return prev
 
+    def rollback(self, version: int | str) -> int:
+        """Roll the table back to an earlier snapshot or tag by
+        publishing a NEW version carrying that snapshot's exact data
+        state (Iceberg ``rollback_to_snapshot`` semantics) — the
+        bad-ingest recovery action the reference's tower performs by
+        moving the dump position back (SetBinlogPosHandler.java:1-73) and
+        re-collecting.  History is preserved: the rollback is itself an
+        auditable, atomic commit; data files are shared, never copied.
+
+        Everything rolls back together — files, deltas, schema,
+        watermarks, epoch markers — so re-ingesting the suffix log
+        replays cleanly under the usual fences (epoch guard and seq
+        fence are back at the target's values, per-row ``_seq`` LWW
+        protects against any stragglers), and ``read_changes`` across
+        the rollback commit emits the net UNDO diff for downstream feed
+        consumers.  Returns the new version number."""
+        target = self.snapshot(version)
+        cur = self.snapshot()
+        new = dict(target)
+        new["version"] = int(cur["version"]) + 1
+        new["lineage"] = list(cur.get("lineage", [])) + [
+            {
+                "kind": "admin",
+                "op": "rollback",
+                "to_version": int(target["version"]),
+                "from_version": int(cur["version"]),
+                "version": new["version"],
+            }
+        ]
+        self._write_snapshot(new)
+        return int(new["version"])
+
     def reset_watermarks(self, buckets: list[int] | None = None) -> dict[int, int]:
         """Administratively clear per-bucket seq fences (all buckets, or a
         subset) — needed before re-ingesting a regenerated/renumbered log

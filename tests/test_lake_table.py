@@ -361,3 +361,69 @@ def test_tag_rejects_unsafe_names(spark, tmp_path):
     for bad in ["", ".hidden", "a/b", "rel.tmp.1", "-x"]:
         with pytest.raises(ValueError):
             t.tag(bad)
+
+
+def test_rollback_restores_state_and_reingest_is_exact(spark, tmp_path):
+    """rollback(tag): the new CURRENT carries the target's exact data +
+    fences (auditable commit, files shared); the change feed across the
+    rollback emits the undo diff; re-applying the suffix log converges to
+    the identical original final state; expiry keeps the rolled-back
+    state readable."""
+    from binlake_spark.changelog import GenSpec, generate_change_log, write_change_log
+    from binlake_spark.changelog.generator import CHANGE_LOG_SCHEMA
+    from binlake_spark.streaming import CdcEngine
+
+    pdf = generate_change_log(
+        GenSpec(n_docs=60, n_events=1200, events_per_epoch=300, retransmit_frac=0.1)
+    )
+    write_change_log(pdf, str(tmp_path / "log"))
+    log = spark.read.schema(CHANGE_LOG_SCHEMA).parquet(str(tmp_path / "log"))
+    table = CdcEngine.create_table(str(tmp_path / "docs"), num_buckets=8)
+    engine = CdcEngine(table)
+
+    def state():
+        return {
+            r.doc_id: (tuple(r.tokens or ()), r.n_tok, r.source)
+            for r in table.read(spark).collect()
+        }
+
+    epochs = sorted(int(e) for e in pdf["epoch_hint"].unique())
+    engine.apply_batch(log.filter(F.col("epoch_hint") == epochs[0]), epoch_id=0)
+    table.tag("good")
+    good_state = state()
+    good_wms = dict(table.snapshot()["watermarks"])
+    for i, ep in enumerate(epochs[1:], start=1):
+        engine.apply_batch(log.filter(F.col("epoch_hint") == ep), epoch_id=i)
+    final_state = state()
+    assert final_state != good_state
+    pre_rollback = int(table.snapshot()["version"])
+
+    new_v = table.rollback("good")
+    assert new_v == pre_rollback + 1
+    assert state() == good_state
+    snap = table.snapshot()
+    assert dict(snap["watermarks"]) == good_wms
+    assert snap["lineage"][-1]["op"] == "rollback"
+
+    # the feed across the rollback is the undo diff: every emitted row's
+    # to-side equals the good state (I/U) or is a delete of a doc the
+    # rollback removed
+    undo = table.read_changes(spark, from_version=pre_rollback).collect()
+    assert undo
+    for r in undo:
+        if r._change_op == "D":
+            assert r.doc_id not in good_state
+        else:
+            assert good_state[r.doc_id] == (tuple(r.tokens or ()), r.n_tok, r.source)
+
+    # re-ingest the suffix: epoch fences are back at the target's values,
+    # so the replay applies and converges to the original final state
+    for i, ep in enumerate(epochs[1:], start=1):
+        res = engine.apply_batch(log.filter(F.col("epoch_hint") == ep), epoch_id=i)
+        assert res.applied
+    assert state() == final_state
+
+    # expiry after a fresh rollback keeps the rolled-back files readable
+    table.rollback("good")
+    table.expire_snapshots(keep_last=1)
+    assert state() == good_state
