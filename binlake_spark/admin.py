@@ -25,6 +25,8 @@ Endpoints (JSON in/out):
 * ``POST /set-position`` ``{"stream_id": s, "epoch": n}`` —
   administrative epoch override (SetBinlogPosHandler analog)
 * ``POST /reset-watermarks`` ``{"buckets": [..] | null}``
+* ``POST /rollback`` ``{"version": n | "tag"}`` — atomic revert to an
+  earlier snapshot's state (LakeTable.rollback), auditable in lineage
 """
 
 from __future__ import annotations
@@ -125,6 +127,14 @@ class AdminServer:
                         )
                         self._json(200, {
                             "status": "SUCCESS", "cleared": cleared,
+                        })
+                    elif url.path == "/rollback":
+                        v = body["version"]
+                        new_v = outer.table.rollback(
+                            int(v) if not isinstance(v, str) else v
+                        )
+                        self._json(200, {
+                            "status": "SUCCESS", "version": new_v,
                         })
                     else:
                         self._json(404, {"error": f"no route {url.path}"})

@@ -100,3 +100,35 @@ def test_lineage_n_zero_and_bad_n(spark, tmp_path):
         assert code == 200 and lin == []
         code, err = _get(port, "/lineage?n=abc")
         assert code == 400
+
+
+def test_admin_rollback_endpoint(spark, tmp_path):
+    """POST /rollback reverts the table to a tag's state atomically and
+    reports the new version; bad versions are a 500 with an error body,
+    not a server death."""
+    from binlake_spark.changelog import GenSpec, generate_change_log, write_change_log
+    from binlake_spark.changelog.generator import CHANGE_LOG_SCHEMA
+    from binlake_spark.streaming import CdcEngine
+    from pyspark.sql import functions as F
+
+    pdf = generate_change_log(GenSpec(n_docs=30, n_events=600, events_per_epoch=300))
+    write_change_log(pdf, str(tmp_path / "log"))
+    log = spark.read.schema(CHANGE_LOG_SCHEMA).parquet(str(tmp_path / "log"))
+    table = CdcEngine.create_table(str(tmp_path / "docs"), num_buckets=4)
+    engine = CdcEngine(table)
+    engine.apply_batch(log.filter(F.col("epoch_hint") == 0), epoch_id=0)
+    table.tag("good")
+    good = {r.doc_id: r.n_tok for r in table.read(spark).collect()}
+    engine.apply_batch(log.filter(F.col("epoch_hint") == 1), epoch_id=1)
+
+    with AdminServer(table) as srv:
+        code, body = _post(srv.port, "/rollback", {"version": "good"})
+        assert code == 200 and body["status"] == "SUCCESS"
+        assert body["version"] == int(table.snapshot()["version"])
+        assert {r.doc_id: r.n_tok for r in table.read(spark).collect()} == good
+
+        code, body = _post(srv.port, "/rollback", {"version": "no-such-tag"})
+        assert code == 500 and "error" in body
+
+        code, body = _post(srv.port, "/rollback", {})
+        assert code == 400
