@@ -419,6 +419,62 @@ def dup_doc_pairs(
     )
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs — the final stage
+    of dedup: group pairwise hits into clusters so the pipeline keeps
+    exactly one survivor (the minimum id) per clone family.  Returns
+    (doc_id, cluster_id) for every doc appearing in ``pairs``;
+    ``cluster_id`` is the component's minimum doc id, so the canonical
+    survivor is simply ``doc_id == cluster_id``.
+
+    Deterministic min-label propagation: each round every node adopts
+    the smallest label among itself and its neighbors; converges in
+    O(component diameter) rounds (near-dup clusters are shallow — a
+    clone family's diameter is 1-2), each round one equi-join + one
+    min-aggregate, both keyed shuffles bounded by |pairs|.  The frame is
+    localCheckpoint-ed per round (previous round released) so round k
+    costs O(edges), not O(k·edges).  Iteration stops at the first round
+    with zero label changes; ``max_iters`` is the runaway bound."""
+    edges = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    edges = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(int(max_iters)):
+        nbr = edges.join(
+            labels.select(F.col("doc_id").alias("b"), F.col("label").alias("nl")),
+            "b",
+        ).select(F.col("a").alias("doc_id"), F.col("nl").alias("label"))
+        new = (
+            labels.unionByName(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(
+                labels.select("doc_id", F.col("label").alias("old")), "doc_id"
+            )
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
 def dup_token_windows(
     df: DataFrame,
     window: int = 8,

@@ -2933,10 +2933,10 @@ def tok_dup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_token_windows(d, window=8, stride=1)
 
 
-@_register(
-    "tok_dup_pairs",
-    f"""
-    WITH tk AS (
+# shared CTE chain for the substring-dedup pair oracles: planted-clone
+# corpus → window fingerprints → df-capped posting lists → shared pairs
+_DUP_PAIRS_CTES = f"""
+    tk AS (
       SELECT doc_id,
              list_transform(string_split(text, ' '),
                w -> {_PORTABLE_TOK_SQL}) AS toks
@@ -2960,11 +2960,21 @@ def tok_dup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, wh, count(*) OVER (PARTITION BY wh) AS df
         FROM wins
       ) WHERE df BETWEEN 2 AND 50
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM kept a JOIN kept b ON a.wh = b.wh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 3
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(count(*) AS BIGINT) AS n_shared
-    FROM kept a JOIN kept b ON a.wh = b.wh AND a.doc_id < b.doc_id
-    GROUP BY 1, 2 HAVING count(*) >= 3
+"""
+
+
+@_register(
+    "tok_dup_pairs",
+    f"""
+    WITH {_DUP_PAIRS_CTES}
+    SELECT doc_a, doc_b, n_shared FROM pairs
     """,
 )
 def tok_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2982,6 +2992,45 @@ def tok_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = tokenize(base.unionByName(clones))
     return dup_doc_pairs(d, window=8, stride=1, min_shared=3, max_df=50)
+
+
+@_register(
+    "tok_dup_clusters",
+    f"""
+    WITH RECURSIVE {_DUP_PAIRS_CTES},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id,
+           CAST(least(a, min(b)) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY a
+    """,
+)
+def tok_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution (operators/tokens.py:dup_clusters):
+    connected components over the substring-dedup pairs, so the pipeline
+    keeps one survivor (minimum doc id) per clone family.  Spark side is
+    deterministic min-label propagation (O(diameter) rounds of
+    |pairs|-bounded joins — never a transitive closure); the oracle
+    computes the closure with a recursive CTE and takes the component
+    min, so a hash match proves the iterative labels converge to the
+    exact component structure."""
+    from binlake_spark.operators.tokens import dup_clusters, dup_doc_pairs, tokenize
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = base.filter(F.col("doc_id") % 83 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    d = tokenize(base.unionByName(clones))
+    pairs = dup_doc_pairs(d, window=8, stride=1, min_shared=3, max_df=50)
+    return dup_clusters(pairs)
 
 
 @_register(

@@ -560,3 +560,36 @@ def test_dup_doc_pairs_matches_bruteforce(docs):
     for d in wins:
         if d >= 1000000 and len(wins[d]) >= MIN_SHARED:
             assert (d - 1000000, d) in got
+
+
+def test_dup_clusters_matches_bruteforce_union_find(spark):
+    """Label propagation must produce exactly the connected components a
+    union-find gives, including a 4-node chain (diameter 3 — needs more
+    than one propagation round)."""
+    from binlake_spark.operators.tokens import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "doc_a long, doc_b long",
+    )
+    got = {r.doc_id: r.cluster_id for r in dup_clusters(pairs).collect()}
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)]:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    exp = {n: min(ns) for r, ns in comp.items() for n in ns}
+    assert got == exp
+    assert got[4] == 1 and got[22] == 20 and got[11] == 10
