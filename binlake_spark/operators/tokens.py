@@ -55,6 +55,22 @@ def shard_expr(key: Column | str, n_shards: int) -> Column:
     return (portable_hash(k.cast("string")) % int(n_shards)).cast("int")
 
 
+def _gated_broadcast(
+    df: DataFrame, pin: bool | None, limit: int
+) -> DataFrame:
+    """Tri-state broadcast gate — the same contract as the engine's
+    ``broadcast_winners`` (streaming/engine.py): ``True`` pins a
+    broadcast hint, ``False`` leaves the join to the planner (shuffle
+    equi-join; AQE may still up-convert a small side at runtime), and
+    ``None`` counts the frame and broadcasts only when ≤ ``limit`` rows
+    — a 10^7+-row "small side" would otherwise OOM the driver."""
+    if pin is True:
+        return F.broadcast(df)
+    if pin is False:
+        return df
+    return F.broadcast(df) if df.count() <= int(limit) else df
+
+
 def tokenize(
     df: DataFrame,
     text_col: str = "text",
@@ -189,40 +205,57 @@ def contamination(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_bench: bool | None = None,
+    broadcast_bench_limit: int = 4_000_000,
 ) -> DataFrame:
     """Benchmark-contamination screen: for each candidate document, the
     fraction of its distinct word-``n``-grams that appear anywhere in the
     ``benchmark`` corpus (n-gram *containment*, the decontamination test
     used for pretraining corpora).  Returns candidates with containment
-    ≥ ``threshold``.
+    ≥ ``threshold``.  Documents shorter than ``n`` words have no
+    ``n``-gram and are trivially clean — they are filtered before the
+    gram explode (``sequence(0, -1)`` is a *descending* range in Spark,
+    so the unfiltered form would crash on the first short document).
 
     Shape: distinct grams per side, equi-join on the gram hash (the
-    benchmark side is the small one — broadcast-able), count / total.
-    Never all-pairs; cost ∝ matching grams."""
+    benchmark side is normally the small one — broadcast), count /
+    total.  Never all-pairs; cost ∝ matching grams.  ``broadcast_bench``
+    is the engine-style tri-state: ``True`` pins the broadcast (real
+    benchmark suites are ≤ millions of grams), ``False`` forces the
+    shuffle equi-join, ``None`` (default) counts the gram set and
+    broadcasts only under ``broadcast_bench_limit`` — a giant
+    "benchmark" (e.g. screening corpus-vs-corpus overlap) takes the
+    shuffle path instead of OOMing the driver."""
 
     def grams(frame: DataFrame, alias: str) -> DataFrame:
+        words = f"split({text_col}, ' ')"
         g = F.expr(
-            f"transform(sequence(0, greatest(size(split({text_col}, ' ')) - {n}, -1)),"
-            f" i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n})))"
+            f"transform(sequence(0, size({words}) - {n}),"
+            f" i -> concat_ws(' ', slice({words}, i + 1, {n})))"
         )
         # the gram text never matters downstream, only membership — carry
         # the portable 60-bit hash so shuffle rows and the broadcast set
         # are fixed-width (16 B), the same trick as the ngram-Jaccard op
         return (
-            frame.select(F.col(id_col).alias(alias), F.explode(g).alias("_g"))
+            frame.filter(F.size(F.split(F.col(text_col), " ")) >= n)
+            .select(F.col(id_col).alias(alias), F.explode(g).alias("_g"))
             .select(alias, portable_hash(F.col("_g")).alias("g"))
             .distinct()
         )
 
     # materialize the candidate posting list once (it feeds both the
     # per-doc total and the hit count); the benchmark gram set is the
-    # small side by construction — broadcast it so the screen is a
-    # map-side semi-join over the corpus, no wide shuffle of candidates
+    # small side by construction — broadcast it (gated) so the screen is
+    # a map-side semi-join over the corpus, no wide shuffle of candidates
     cand = grams(df, "doc_id").localCheckpoint()
-    bench_grams = grams(benchmark, "bench_id").select("g").distinct()
+    bench_grams = _gated_broadcast(
+        grams(benchmark, "bench_id").select("g").distinct(),
+        broadcast_bench,
+        broadcast_bench_limit,
+    )
     totals = cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     hits = (
-        cand.join(F.broadcast(bench_grams), "g")
+        cand.join(bench_grams, "g")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hit"))
     )
@@ -388,6 +421,8 @@ def dup_doc_pairs(
     max_df: int | None = 50,
     tokens_col: str = "tokens",
     id_col: str = "doc_id",
+    broadcast_keys: bool | None = None,
+    broadcast_key_limit: int = 4_000_000,
 ) -> DataFrame:
     """Doc-level near-duplicate PAIRS from shared token windows — the
     pair-resolution stage of substring dedup (after
@@ -401,13 +436,33 @@ def dup_doc_pairs(
     more than ``max_df`` docs are dropped first (boilerplate
     stop-windows; a window shared by k docs would otherwise emit k²/2
     pairs), so the self-join output is ≤ |windows| · max_df and never
-    all-pairs."""
+    all-pairs.  Document frequency is a ``groupBy("wh")`` — partial
+    aggregation collapses a boilerplate window shared by 10^7 docs to
+    one row per map task before the exchange, where the previous
+    ``count().over(partitionBy("wh"))`` form funneled every carrier of
+    the hot window into a single sort task (the same hot-key spreading
+    the reference's NO_ORDER grade exists for, IKeyGenerator.java:32-46).
+    The kept-window id set (2 ≤ df ≤ ``max_df``) is small by
+    construction and joins back under the ``broadcast_keys`` tri-state
+    gate; the fingerprint set is localCheckpoint-ed once and feeds the
+    df count, the join-back, and both self-join sides without
+    re-derivation."""
     wins = window_fingerprints(df, window, stride, tokens_col, id_col)
-    n_with = F.count(F.lit(1)).over(W.partitionBy("wh"))
+    wins = wins.localCheckpoint()
     cond = F.col("_df") >= 2
     if max_df is not None:
         cond = cond & (F.col("_df") <= int(max_df))
-    kept = wins.select("doc_id", "wh", n_with.alias("_df")).filter(cond)
+    keep_whs = (
+        wins.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(cond)
+        .select("wh")
+    )
+    kept = wins.join(
+        _gated_broadcast(keep_whs, broadcast_keys, broadcast_key_limit),
+        "wh",
+        "left_semi",
+    ).localCheckpoint()
     a = kept.select(F.col("doc_id").alias("doc_a"), "wh")
     b = kept.select(F.col("doc_id").alias("doc_b"), "wh")
     return (
@@ -439,7 +494,11 @@ def dup_clusters(
     min-aggregate, both keyed shuffles bounded by |pairs|.  The frame is
     localCheckpoint-ed per round (previous round released) so round k
     costs O(edges), not O(k·edges).  Iteration stops at the first round
-    with zero label changes; ``max_iters`` is the runaway bound."""
+    with zero label changes; ``max_iters`` is the runaway bound, and
+    exhausting it without converging RAISES — a partially-propagated
+    labeling silently splits long clone chains (diameter > max_iters)
+    into separate clusters, which is a wrong answer, not a degraded
+    one."""
     edges = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
     edges = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -450,6 +509,7 @@ def dup_clusters(
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
+    changed = -1
     for _ in range(int(max_iters)):
         nbr = edges.join(
             labels.select(F.col("doc_id").alias("b"), F.col("label").alias("nl")),
@@ -472,6 +532,12 @@ def dup_clusters(
         labels = new
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"dup_clusters did not converge within max_iters={max_iters} "
+            f"({changed} labels still changing); the component diameter "
+            f"exceeds the round budget — raise max_iters"
+        )
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
@@ -481,6 +547,8 @@ def dup_token_windows(
     stride: int = 1,
     tokens_col: str = "tokens",
     id_col: str = "doc_id",
+    broadcast_keys: bool | None = None,
+    broadcast_key_limit: int = 4_000_000,
 ) -> DataFrame:
     """Exact duplicated-token-window detection (the substring-dedup
     regime of Lee et al., "Deduplicating Training Data Makes Language
@@ -491,24 +559,42 @@ def dup_token_windows(
     elsewhere.
 
     Shape: each doc emits its window fingerprints ONCE (60-bit portable
-    hash of the id-joined span — fixed-width shuffle rows); a count over
-    a ``wh``-partitioned window flags fingerprints seen in ≥ 2 docs
-    without re-deriving or re-joining the (corpus-sized) fingerprint set
-    — one explode and three key-bounded shuffles total, vs the naive
-    groupBy + join-back which explodes the corpus twice and shuffles
-    five times.  Cost ∝ tokens / ``stride`` (the scale knob: production
-    substring dedup runs stride 4-16 then verifies hits), never
-    all-pairs."""
+    hash of the id-joined span — fixed-width shuffle rows, materialized
+    by one localCheckpoint); document frequency per fingerprint is a
+    ``groupBy("wh").count()`` — partial aggregation collapses a
+    boilerplate window carried by 10^7 docs to one row per map task
+    before the exchange, where a ``count().over(partitionBy("wh"))``
+    window would funnel every carrier of the hot key into a single sort
+    task (straggler/OOM at 100× scale).  The duplicated-window id set
+    (df ≥ 2, ≪ corpus by construction) joins back under the
+    ``broadcast_keys`` tri-state gate — pinned broadcast, forced shuffle,
+    or auto by count — then one doc-keyed groupBy finishes.  Cost ∝
+    tokens / ``stride`` (the scale knob: production substring dedup runs
+    stride 4-16 then verifies hits), never all-pairs."""
     wins = window_fingerprints(df, window, stride, tokens_col, id_col)
-    # wins is distinct per (doc, wh), so a plain count over the wh
-    # partition IS the number of docs carrying that window
-    n_with = F.count(F.lit(1)).over(W.partitionBy("wh"))
+    wins = wins.localCheckpoint()
+    # wins is distinct per (doc, wh), so a plain count per wh group IS
+    # the number of docs carrying that window
+    dup_whs = (
+        wins.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= 2)
+        .select("wh")
+    )
+    marked = wins.join(
+        _gated_broadcast(
+            dup_whs.withColumn("_dup", F.lit(1)),
+            broadcast_keys,
+            broadcast_key_limit,
+        ),
+        "wh",
+        "left",
+    )
     return (
-        wins.select("doc_id", n_with.alias("n_with"))
-        .groupBy("doc_id")
+        marked.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_win"),
-            F.sum((F.col("n_with") >= 2).cast("long")).alias("n_dup"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0)).cast("long")).alias("n_dup"),
         )
         .filter(F.col("n_dup") > 0)
     )

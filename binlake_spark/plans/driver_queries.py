@@ -2828,7 +2828,9 @@ def tok_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("leaked! "), F.col("text")).alias("text"),
         )
     )
-    return contamination(cand, bench, n=5, threshold=0.5)
+    # the benchmark split is small by construction at every driver sf —
+    # pin the broadcast (production callers use the auto gate)
+    return contamination(cand, bench, n=5, threshold=0.5, broadcast_bench=True)
 
 
 @_register(
@@ -2930,7 +2932,9 @@ def tok_dup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from binlake_spark.operators.tokens import dup_token_windows, tokenize
 
     d = tokenize(_t(spark, sf_dir, "documents"))
-    return dup_token_windows(d, window=8, stride=1)
+    # fixture corpora keep the dup-window id set tiny — pin the
+    # broadcast join-back (production callers use the auto gate)
+    return dup_token_windows(d, window=8, stride=1, broadcast_keys=True)
 
 
 # shared CTE chain for the substring-dedup pair oracles: planted-clone
@@ -2991,7 +2995,9 @@ def tok_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
     )
     d = tokenize(base.unionByName(clones))
-    return dup_doc_pairs(d, window=8, stride=1, min_shared=3, max_df=50)
+    return dup_doc_pairs(
+        d, window=8, stride=1, min_shared=3, max_df=50, broadcast_keys=True
+    )
 
 
 @_register(

@@ -593,3 +593,87 @@ def test_dup_clusters_matches_bruteforce_union_find(spark):
     exp = {n: min(ns) for r, ns in comp.items() for n in ns}
     assert got == exp
     assert got[4] == 1 and got[22] == 20 and got[11] == 10
+
+
+def test_contamination_short_docs_are_clean_not_crash(spark):
+    """Documents with fewer than n words have no n-gram: they must be
+    screened as trivially clean, not crash the whole job (unfiltered,
+    sequence(0, size-n) with size<n is a DESCENDING range in Spark and
+    the i=-1 slice throws INVALID_PARAMETER_VALUE.START)."""
+    from binlake_spark.operators.tokens import contamination
+
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    cand = spark.createDataFrame(
+        [
+            (10, ""),                       # empty
+            (11, "one two"),                # shorter than n
+            (12, "alpha beta gamma delta epsilon zeta eta"),  # leaked
+            (13, "totally different words here entirely now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.containment for r in
+           contamination(cand, bench, n=5, threshold=0.5).collect()}
+    assert 12 in out and out[12] >= 0.5
+    assert 10 not in out and 11 not in out and 13 not in out
+
+
+def test_contamination_shuffle_path_matches_broadcast(docs, spark):
+    """The broadcast tri-state: a forced non-broadcast benchmark (the
+    giant-'benchmark' regime) must produce the identical screen through
+    the shuffle equi-join path."""
+    from binlake_spark.operators.tokens import contamination
+
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    cand = docs.filter(F.col("doc_id") % 97 == 1).select("doc_id", "text")
+    leaked = bench.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    frame = cand.unionAll(leaked)
+    bc = contamination(frame, bench, broadcast_bench=True).collect()
+    # kill the planner's size-based auto-broadcast so broadcast_bench=False
+    # genuinely runs the shuffle equi-join (the giant-benchmark regime)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sh = contamination(frame, bench, broadcast_bench=False)
+        assert (
+            "BroadcastHashJoin"
+            not in sh._jdf.queryExecution().executedPlan().toString()
+        )
+        sh = sh.collect()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert sorted(map(tuple, bc)) == sorted(map(tuple, sh))
+
+
+def test_dup_windows_shuffle_path_matches_broadcast(docs):
+    """dup_token_windows / dup_doc_pairs gated join-back: forced shuffle
+    path returns the identical result as the pinned broadcast path."""
+    from binlake_spark.operators.tokens import (
+        dup_doc_pairs,
+        dup_token_windows,
+        tokenize,
+    )
+
+    t = tokenize(_with_clones(docs))
+    for fn in (dup_token_windows, dup_doc_pairs):
+        bc = fn(t, broadcast_keys=True)
+        sh = fn(t, broadcast_keys=False)
+        assert sorted(map(tuple, bc.collect())) == sorted(map(tuple, sh.collect()))
+
+
+def test_dup_clusters_raises_when_unconverged(spark):
+    """A chain longer than the round budget must RAISE, not silently
+    return split components (ADVICE r3: partially-propagated labels are
+    a wrong answer)."""
+    from binlake_spark.operators.tokens import dup_clusters
+
+    chain = [(i, i + 1) for i in range(12)]  # diameter 12
+    pairs = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(pairs, max_iters=2)
+    ok = {r.doc_id: r.cluster_id for r in dup_clusters(pairs, max_iters=20).collect()}
+    assert set(ok.values()) == {0}

@@ -182,18 +182,39 @@ def test_change_feed_scans_only_changed_bucket_files(spark, tmp_path):
     assert scanned and scanned <= allowed
 
 
-def test_dup_token_windows_single_explode_bounded_exchanges(spark):
-    """Substring-dedup fingerprinting must derive the (corpus-sized)
-    window set exactly once: one Generate (explode), and at most three
-    exchanges (distinct, wh-window, doc groupBy) — no join-back
-    re-derivation."""
-    from binlake_spark.operators.tokens import dup_token_windows, tokenize
+def test_dup_token_windows_partial_agg_no_hot_key_window(spark):
+    """Substring-dedup document frequency must be a partially-aggregated
+    groupBy on the fingerprint, never a wh-partitioned Window: a window
+    function funnels every carrier of one boilerplate fingerprint into a
+    single sort task (straggler/OOM at 100× scale), while partial_count
+    collapses the hot key per map task before the exchange.  The
+    (corpus-sized) fingerprint set is derived once — a localCheckpoint —
+    and the final plan carries only key-bounded shuffles plus the gated
+    broadcast join-back."""
+    from binlake_spark.operators.tokens import (
+        dup_token_windows,
+        tokenize,
+        window_fingerprints,
+    )
 
     d = tokenize(
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
             "doc_id", "text"
         )
     )
-    plan = dup_token_windows(d)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Generate") == 1, plan
-    assert plan.count("Exchange") <= 3, plan
+    # the shared candidate generator explodes the corpus exactly once
+    fp_plan = (
+        window_fingerprints(d)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert fp_plan.count("Generate") == 1, fp_plan
+
+    out = dup_token_windows(d)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the hot-key df count is a partial-aggregated groupBy, NOT a Window
+    assert "partial_count" in plan, plan
+    assert "Window" not in plan, plan
+    # post-checkpoint: the df-count exchange and the final doc groupBy —
+    # the join-back itself is the gated broadcast (no wh re-shuffle of
+    # the corpus-sized fingerprint side)
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
