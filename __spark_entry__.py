@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from binlake_spark.plans import ORACLES, QUERIES  # noqa: E402
+from binlake_spark.plans import QUERIES, render_oracles  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -26,8 +26,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 entries — the harness records at most 50 CORRECTNESS
+    rows, so one query per operator family; near-twin variants live in
+    binlake_spark.plans.EXTRA_QUERIES (pytest-oracle-checked)."""
     return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    """DuckDB oracles with sf-dependent fixture paths rendered for the
+    scale under test: sf0.01 (the driver's compare scale) by default;
+    set BINLAKE_ORACLE_SF=0.1 to cross-check another sf — the Spark
+    queries derive the same fixture from their sf_dir argument."""
+    return render_oracles()

@@ -190,7 +190,7 @@ def run_cdc_replay(spark, sf: float, work: str, epochs: int = 4) -> dict:
 
 
 def main() -> int:
-    from binlake_spark.plans import QUERIES
+    from binlake_spark.plans import EXTRA_QUERIES, QUERIES
     from binlake_spark.session import get_spark
 
     sf = sf_from_dir(SF_DIR)
@@ -205,7 +205,9 @@ def main() -> int:
         queries: dict[str, float] = {}
         headline = [] if os.environ.get("BINLAKE_BENCH_MODE") == "cdc" else HEADLINE
         for name in headline:
-            fn = QUERIES[name]
+            # HEADLINE keys stay comparable round-over-round even when a
+            # near-twin was demoted out of the 50-row driver registry
+            fn = QUERIES.get(name) or EXTRA_QUERIES[name]
             # best-of-QUERY_REPS per query: a single rep is uninterpretable
             # under this VM's neighbor-load bursts (round-2 verdict item #2)
             best_q = None

@@ -1,6 +1,8 @@
 """Mimic the driver's correctness gate: every queries() entry vs its
 DuckDB oracle at sf0.01 — row count, schema (column names), and exact
-values after column-name sort + row sort."""
+values after column-name sort + row sort.  EXTRA_QUERIES (near-twins
+demoted out of the 50-row driver registry) are held to the identical
+bar here, so consolidation never weakens coverage."""
 
 import math
 
@@ -9,7 +11,15 @@ import pytest
 
 import __spark_entry__ as entry_mod
 
-SF_DIR = "/root/testdata/sf0.01"
+# default: the driver's compare scale.  Override BOTH the table dir and
+# the oracle fixture sf in one knob for cross-scale checks, e.g.
+#   BINLAKE_CONTRACT_SF_DIR=/root/testdata/sf0.1 pytest tests/test_driver_contract.py
+import os
+
+SF_DIR = os.environ.get("BINLAKE_CONTRACT_SF_DIR", "/root/testdata/sf0.01")
+os.environ.setdefault(
+    "BINLAKE_ORACLE_SF", os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+)
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -44,13 +54,17 @@ def _cmp_cell(a, b) -> bool:
     return type(a) is type(b) and a == b
 
 
-NAMES = sorted(entry_mod.oracle_sql())
+from binlake_spark.plans import EXTRA_QUERIES, render_oracles  # noqa: E402
+
+ALL_QUERIES = {**entry_mod.queries(), **EXTRA_QUERIES}
+ALL_ORACLES = {**entry_mod.oracle_sql(), **render_oracles(extra=True)}
+NAMES = sorted(ALL_ORACLES)
 
 
 @pytest.mark.parametrize("name", NAMES)
 def test_query_matches_oracle(spark, ddb, name):
-    q = entry_mod.queries()[name]
-    sql = entry_mod.oracle_sql()[name]
+    q = ALL_QUERIES[name]
+    sql = ALL_ORACLES[name]
     got = _norm(q(spark, SF_DIR).toPandas())
     exp = _norm(ddb.sql(sql).df())
     assert list(got.columns) == list(exp.columns), (list(got.columns), list(exp.columns))
