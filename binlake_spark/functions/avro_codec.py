@@ -243,6 +243,76 @@ def envelope_record(
     return rec
 
 
+def encode_envelope_batch(
+    d: dict, n: int, key_col: str = "doc_id", seq_col: str = "seq"
+) -> list[bytes]:
+    """Encode ``n`` rows of an Arrow batch pydict to ENVELOPE_SCHEMA
+    Avro binary in one pass — bit-identical to
+    ``encode(ENVELOPE_SCHEMA, envelope_record(d, i, n))`` per row
+    (property-pinned in tests/test_avro_codec.py) but with the envelope
+    layout hand-inlined: no per-row schema walk, no union matching, no
+    per-row record dict, and the op-string encoding memoized (the op
+    alphabet is I/U/D/Q).  Producer serialization is per-record by
+    nature (the reference encodes per event in Java); this is the
+    jar-free Python fast path — deployments with the spark-avro package
+    should swap in JVM ``to_avro`` (see streaming/produce.py)."""
+    seqs = d[seq_col]
+    ids = d[key_col]
+    ops = d.get("op") or ["?"] * n
+    ntoks = d.get("n_tok") or [None] * n
+    payloads = d.get("payload") or [None] * n
+    extras = d.get("extra") or [None] * n
+    wl = _write_long
+    op_enc: dict[str, bytes] = {}
+    out: list[bytes] = []
+    for i in range(n):
+        buf = bytearray()
+        wl(buf, seqs[i])  # seq: long
+        raw = ids[i].encode("utf-8")  # doc_id: string
+        wl(buf, len(raw))
+        buf += raw
+        op = ops[i]  # op: string (memoized len+bytes)
+        enc = op_enc.get(op)
+        if enc is None:
+            tmp = bytearray()
+            o = op.encode("utf-8")
+            wl(tmp, len(o))
+            op_enc[op] = enc = bytes(tmp + o)
+        buf += enc
+        nt = ntoks[i]  # n_tok: union(null, int) — index 0 → 0x00, 1 → 0x02
+        if nt is None:
+            buf.append(0)
+        else:
+            buf.append(2)
+            wl(buf, nt)
+        p = payloads[i]  # payload: union(null, bytes)
+        if p is None:
+            buf.append(0)
+        else:
+            buf.append(2)
+            wl(buf, len(p))
+            buf += p
+        ex = extras[i]  # extra: union(null, map<string,string>)
+        if ex is None:
+            buf.append(0)
+        else:
+            buf.append(2)
+            pairs = ex.items() if isinstance(ex, dict) else ex
+            m = len(ex)
+            if m:
+                wl(buf, m)
+                for k, v in pairs:
+                    kr = k.encode("utf-8")
+                    wl(buf, len(kr))
+                    buf += kr
+                    vr = v.encode("utf-8")
+                    wl(buf, len(vr))
+                    buf += vr
+            buf.append(0)  # map terminator block
+        out.append(bytes(buf))
+    return out
+
+
 def encode_envelopes(df: DataFrame, out_col: str = "avro") -> DataFrame:
     """Serialize change-log rows to Avro-binary envelope values in one
     ``mapInArrow`` pass: (seq, doc_id, op, n_tok, payload, extra) →
@@ -254,11 +324,8 @@ def encode_envelopes(df: DataFrame, out_col: str = "avro") -> DataFrame:
         for b in batches:
             d = b.to_pydict()
             n = b.num_rows
-            keys, vals = [], []
-            for i in range(n):
-                rec = envelope_record(d, i, n)
-                keys.append(rec["doc_id"].encode())
-                vals.append(encode(ENVELOPE_SCHEMA, rec))
+            keys = [s.encode() for s in d["doc_id"]]
+            vals = encode_envelope_batch(d, n)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(keys, type=pa.binary()), pa.array(vals, type=pa.binary())],
                 names=["key", out_col],

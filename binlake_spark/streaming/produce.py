@@ -64,7 +64,7 @@ def ordered_produce(
     converter, MQRule.java:216-222 → formatByOneRow)."""
     import pyarrow as pa
 
-    from binlake_spark.functions.avro_codec import ENVELOPE_SCHEMA, encode
+    from binlake_spark.functions.avro_codec import encode_envelope_batch
 
     if format not in ("avro", "proto"):
         raise ValueError(f"format must be 'avro' or 'proto', got {format!r}")
@@ -86,27 +86,57 @@ def ordered_produce(
         ]
     )
 
-    def _encode_row(d, i, n):
+    def _encode_batch(d, n) -> list[bytes]:
+        """Envelope-encode a whole Arrow batch at once.  Avro goes
+        through the hand-inlined batch encoder (avro_codec.
+        encode_envelope_batch — no per-row schema walk; jar-ful
+        deployments should swap this mapInArrow value column for the
+        spark-avro package's JVM ``to_avro(struct(...))``, which keeps
+        the identical envelope layout and removes Python entirely);
+        proto makes ONE ``pack_entries`` call per batch —
+        ``max_packet_size=0`` flushes at every row, so the call yields
+        exactly one WaveEntry per input row, in input order."""
         if format == "avro":
-            from binlake_spark.functions.avro_codec import envelope_record
-
-            return encode(ENVELOPE_SCHEMA, envelope_record(d, i, n, key_col, seq_col))
+            return encode_envelope_batch(d, n, key_col, seq_col)
         from binlake_spark.functions.proto_codec import pack_entries
 
-        tokens = d.get("tokens", [None] * n)[i]
-        if tokens is None and d.get("payload", [None] * n)[i] is not None:
+        tokens = d.get("tokens") or [None] * n
+        payloads = d.get("payload") or [None] * n
+        if any(t is None for t in tokens) and any(
+            p is not None for p in payloads
+        ):
             import numpy as np
 
-            tokens = np.frombuffer(d["payload"][i], dtype="<i4").tolist()
-        row = {
-            "op": d.get("op", ["I"] * n)[i],
-            "doc_id": d[key_col][i],
-            "tokens": tokens,
-            "n_tok": d.get("n_tok", [None] * n)[i],
-            "source": d.get("source", [None] * n)[i],
-            "seq": d[seq_col][i],
-        }
-        return pack_entries([row], max_packet_size=0)[0][3]
+            tokens = [
+                t
+                if t is not None
+                else (
+                    np.frombuffer(p, dtype="<i4").tolist()
+                    if p is not None
+                    else None
+                )
+                for t, p in zip(tokens, payloads)
+            ]
+        ops = d.get("op") or ["I"] * n
+        ntoks = d.get("n_tok") or [None] * n
+        sources = d.get("source") or [None] * n
+        rows = [
+            {
+                "op": ops[i],
+                "doc_id": d[key_col][i],
+                "tokens": tokens[i],
+                "n_tok": ntoks[i],
+                "source": sources[i],
+                "seq": d[seq_col][i],
+            }
+            for i in range(n)
+        ]
+        packed = pack_entries(rows, max_packet_size=0)
+        if len(packed) != n:  # guaranteed by max_packet_size=0; belt+braces
+            raise AssertionError(
+                f"per-row packing returned {len(packed)} entries for {n} rows"
+            )
+        return [e[3] for e in packed]
 
     def fn(batches):
         # per (Spark-)partition physical counters, one per pt value:
@@ -117,12 +147,12 @@ def ordered_produce(
         for b in batches:
             d = b.to_pydict()
             n = b.num_rows
-            idxs, vals = [], []
-            for i in range(n):
-                pt = d["pt"][i]
-                idxs.append(counters.get(pt, 0))
-                counters[pt] = idxs[-1] + 1
-                vals.append(_encode_row(d, i, n))
+            vals = _encode_batch(d, n)
+            idxs = []
+            for pt in d["pt"]:
+                i = counters.get(pt, 0)
+                idxs.append(i)
+                counters[pt] = i + 1
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(d["pt"], type=pa.int32()),

@@ -118,3 +118,40 @@ def test_encode_envelopes_spark(spark):
         assert rec["payload"] == (
             None if want_payload is None else bytes(want_payload)
         )
+
+
+def test_batch_envelope_encoder_bit_identical_to_generic():
+    """encode_envelope_batch is a hand-inlined fast path: it must stay
+    bit-identical to the schema-walking encoder for every envelope
+    shape — null/None unions, empty and multi-entry maps, empty
+    payloads, negative/huge seqs, unicode ids and ops."""
+    from binlake_spark.functions.avro_codec import (
+        ENVELOPE_SCHEMA,
+        encode,
+        encode_envelope_batch,
+        envelope_record,
+    )
+
+    rows = [
+        (0, "a", "I", None, None, None),
+        (-1, "β-doc", "U", 0, b"", {}),
+        (2**62, "x" * 300, "D", 2**31 - 1, b"\x00\xff" * 100, {"k": "v"}),
+        (7, "d7", "Q", None, b"\x01\x02\x03\x04", {"lang": "en", "z": ""}),
+        (-(2**62), "", "?", 5, None, {"a": "1", "b": "2", "c": "3"}),
+    ]
+    d = {
+        "seq": [r[0] for r in rows],
+        "doc_id": [r[1] for r in rows],
+        "op": [r[2] for r in rows],
+        "n_tok": [r[3] for r in rows],
+        "payload": [r[4] for r in rows],
+        # arrow map columns arrive as list-of-pairs: mimic that for some
+        "extra": [
+            list(r[5].items()) if isinstance(r[5], dict) and i % 2 else r[5]
+            for i, r in enumerate(rows)
+        ],
+    }
+    n = len(rows)
+    got = encode_envelope_batch(d, n)
+    exp = [encode(ENVELOPE_SCHEMA, envelope_record(d, i, n)) for i in range(n)]
+    assert got == exp
