@@ -21,6 +21,8 @@ reference's buffer walk is per-connection sequential.
 
 from __future__ import annotations
 
+import zlib
+
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
@@ -29,6 +31,40 @@ from pyspark.sql import types as T
 #: packet with the same framing)
 MAX_PACKET_PAYLOAD = 0xFFFFFF
 PACKET_HEAD_SIZE = 4
+
+#: binlog event checksum (public binlog_checksum_alg values): the format
+#: header announces the algorithm; when CRC32, every event carries a
+#: 4-byte little-endian CRC32 of the event bytes as its tail, which the
+#: reader validates and strips before decode (the reference reads the
+#: algorithm from FORMAT_DESCRIPTION_EVENT and truncates eventLen by
+#: BINLOG_CHECKSUM_LEN, LogDecoder.java:112-124; a corrupted-but-well-
+#: framed event must fail loudly, not decode silently)
+CHECKSUM_ALG_OFF = "off"
+CHECKSUM_ALG_CRC32 = "crc32"
+BINLOG_CHECKSUM_LEN = 4
+
+
+def append_checksum(payload: bytes) -> bytes:
+    """Server-side counterpart: payload + CRC32(payload) little-endian —
+    what a checksum-enabled master appends to every event."""
+    return payload + (zlib.crc32(payload) & 0xFFFFFFFF).to_bytes(4, "little")
+
+
+def _strip_checksum(payload: bytes, where: str) -> bytes:
+    if len(payload) < BINLOG_CHECKSUM_LEN:
+        raise ValueError(
+            f"payload {where} is {len(payload)} bytes — too short to carry "
+            f"a CRC32 tail"
+        )
+    body, tail = payload[:-BINLOG_CHECKSUM_LEN], payload[-BINLOG_CHECKSUM_LEN:]
+    got = int.from_bytes(tail, "little")
+    want = zlib.crc32(body) & 0xFFFFFFFF
+    if got != want:
+        raise ValueError(
+            f"CRC32 mismatch {where}: event carries 0x{got:08x}, body "
+            f"checksums to 0x{want:08x} — corrupted event"
+        )
+    return body
 
 
 def frame_payloads(payloads: list[bytes], start_seq: int = 0) -> bytes:
@@ -52,11 +88,17 @@ def frame_payloads(payloads: list[bytes], start_seq: int = 0) -> bytes:
     return bytes(out)
 
 
-def split_packets(buf: bytes) -> list[bytes]:
+def split_packets(
+    buf: bytes, checksum_alg: str = CHECKSUM_ALG_OFF
+) -> list[bytes]:
     """Walk one framed byte stream into its logical payloads,
     reassembling 0xFFFFFF continuation chains.  Raises ``ValueError`` on
     a truncated header/body or a sequence-id gap — the reference treats
-    both as a broken dump connection, not data."""
+    both as a broken dump connection, not data.  With
+    ``checksum_alg="crc32"`` every reassembled payload must end in a
+    valid 4-byte little-endian CRC32 of its body, which is validated and
+    STRIPPED (the LogDecoder.java:112-124 analog); a mismatch raises —
+    a corrupted-but-well-framed event must never decode silently."""
     view = memoryview(buf)
     payloads: list[bytes] = []
     parts: list[bytes] = []  # continuation chain in progress
@@ -86,7 +128,14 @@ def split_packets(buf: bytes) -> list[bytes]:
         parts.append(bytes(view[body_lo:body_hi]))
         pos = body_hi
         if length < MAX_PACKET_PAYLOAD:
-            payloads.append(b"".join(parts) if len(parts) > 1 else parts[0])
+            whole = b"".join(parts) if len(parts) > 1 else parts[0]
+            if checksum_alg == CHECKSUM_ALG_CRC32:
+                whole = _strip_checksum(
+                    whole, f"(payload {len(payloads)}, ends offset {pos})"
+                )
+            elif checksum_alg != CHECKSUM_ALG_OFF:
+                raise ValueError(f"unknown checksum_alg {checksum_alg!r}")
+            payloads.append(whole)
             parts = []
     if parts:
         raise ValueError(
@@ -97,14 +146,18 @@ def split_packets(buf: bytes) -> list[bytes]:
 
 
 def deframe_stream(
-    df: DataFrame, blob_col: str, payload_col: str = "payload"
+    df: DataFrame,
+    blob_col: str,
+    payload_col: str = "payload",
+    checksum_alg: str = CHECKSUM_ALG_OFF,
 ) -> DataFrame:
     """Explode each framed blob into one row per logical payload.
 
     Output: every input column except ``blob_col`` passes through, plus
     ``pkt_idx`` (0-based payload ordinal within its blob — the decode
     order the reference preserves per connection) and ``payload_col``
-    (the reassembled payload bytes).  One fused Arrow pass, no shuffle.
+    (the reassembled payload bytes, CRC32-validated-and-stripped when
+    ``checksum_alg="crc32"``).  One fused Arrow pass, no shuffle.
     """
     import pyarrow as pa
 
@@ -129,7 +182,7 @@ def deframe_stream(
                 blob = blobs[i].as_py()
                 if blob is None:
                     continue
-                for j, p in enumerate(split_packets(blob)):
+                for j, p in enumerate(split_packets(blob, checksum_alg)):
                     take_idx.append(i)
                     pkt_idx.append(j)
                     payloads.append(p)

@@ -1917,7 +1917,7 @@ def _wire_table(sf_dir: str) -> str:
     n = max(1_000, int(100_000 * float(sf)))
     out = f"{_ORACLE_LOG_BASE}/sf{sf}/wire.parquet"
     marker = f"{_ORACLE_LOG_BASE}/sf{sf}/_SPEC_wire"
-    tag = f"v7:{n}"
+    tag = f"v8:{n}"
     try:
         with open(marker) as f:
             if f.read() == tag:
@@ -1951,6 +1951,7 @@ def _wire_table(sf_dir: str) -> str:
     import json as _json
 
     from binlake_spark.functions.binlog_decode import ColumnSpec, encode_row_images
+    from binlake_spark.functions.framing import append_checksum as _crc
     from binlake_spark.functions.framing import frame_payloads as _frame
 
     props_wire = encode_jsonb(props)
@@ -2062,6 +2063,16 @@ def _wire_table(sf_dir: str) -> str:
             "frames_wire": pa.array(
                 [
                     _frame([f"evt-{i}-{j}".encode() for j in range(3)])
+                    for i in range(n)
+                ],
+                type=pa.binary(),
+            ),
+            # the same payloads from a checksum-enabled master: each
+            # event carries its CRC32-LE tail, which the deframer must
+            # validate and strip (LogDecoder.java:112-124 analog)
+            "frames_wire_crc": pa.array(
+                [
+                    _frame([_crc(f"evt-{i}-{j}".encode()) for j in range(3)])
                     for i in range(n)
                 ],
                 type=pa.binary(),
@@ -2314,11 +2325,12 @@ def cdc_proto_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "cdc_packet_framing",
     f"""
-    SELECT row_id, u.j AS pkt_idx,
+    SELECT row_id, u.j AS pkt_idx, a.alg,
            'evt-' || CAST(row_id AS VARCHAR) || '-' || CAST(u.j AS VARCHAR)
              AS payload_text
     FROM '{_ORACLE_LOG_BASE}/sf{_SF_TOKEN}/wire.parquet'
     CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS j) u
+    CROSS JOIN (SELECT UNNEST(['off', 'crc32']) AS alg) a
     """,
 )
 def cdc_packet_framing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2326,17 +2338,29 @@ def cdc_packet_framing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     getPacketLength/checkReadBuffer rebuild): each row's ``frames_wire``
     blob is a framed stream (3-byte LE length + seq id) of three
     payloads; one fused Arrow pass walks the frames and explodes each
-    blob into (pkt_idx, payload) rows with no shuffle.  The oracle
-    recomputes every payload's text by expression, so a hash match
-    proves the length-walk, sequence check, and payload slicing are
-    exact."""
+    blob into (pkt_idx, payload) rows with no shuffle.  The
+    ``frames_wire_crc`` twin carries the same payloads with CRC32-LE
+    event tails (a checksum-enabled master), which the deframer must
+    validate and STRIP (LogDecoder.java:112-124 analog) — the oracle
+    recomputes every payload's text by expression for BOTH algorithms,
+    so a hash match proves the length-walk, sequence check, payload
+    slicing, and checksum strip are exact."""
     from binlake_spark.functions.framing import deframe_stream
 
     path = _wire_table(sf_dir)
-    df = spark.read.parquet(path).select("row_id", "frames_wire")
-    return deframe_stream(df, "frames_wire").select(
+    base = spark.read.parquet(path)
+    plain = deframe_stream(
+        base.select("row_id", "frames_wire"), "frames_wire"
+    ).withColumn("alg", F.lit("off"))
+    crc = deframe_stream(
+        base.select("row_id", "frames_wire_crc"),
+        "frames_wire_crc",
+        checksum_alg="crc32",
+    ).withColumn("alg", F.lit("crc32"))
+    return plain.unionByName(crc).select(
         "row_id",
         "pkt_idx",
+        "alg",
         F.col("payload").cast("string").alias("payload_text"),
     )
 
