@@ -359,8 +359,12 @@ def pack_entries(
     """Pack rows (dicts with op/doc_id/tokens/n_tok/source/seq/sql/
     before_tokens) into Entry packets: consecutive same-op I/U/D runs
     share a RowChange, which splits at ``max_packet_size`` on row
-    boundaries; any other op (QUERY/DDL, e.g. the generator's 'Q' rows)
-    becomes its own ``RowChange{isDdl, sql}`` packet with no row images
+    boundaries; op 'R' is a statement passthrough (bare
+    ``RowChange{sql, eventType=QUERY}``, the formatRowsQuery/UserVar/
+    IntVar/Rand analog — IConvert.java:120-132); op 'H' is a HEARTBEAT
+    entry (entryType 4, empty storeValue, liveness header only); any
+    other non-IUD op (QUERY/DDL, e.g. the generator's 'Q' rows) becomes
+    its own ``RowChange{isDdl, sql}`` packet with no row images
     (formatQuery, ProtobufConverter.java:170-211).
 
     Returns [(key, event_type, n_rows, entry_bytes)]: key = first doc_id
@@ -423,6 +427,43 @@ def pack_entries(
         run_size = 0
 
     for r in rows:
+        if r["op"] == "H":  # HEARTBEAT (ENTRY_TYPE 4, entry.proto:22)
+            flush()
+            header = {
+                "version": 1,
+                "logfileName": logfile,
+                "logfileOffset": int(r.get("seq", 0)),
+                "serverId": server_id,
+                "executeTime": int(r.get("ts_ms", 0)),
+                "schemaName": schema_name,
+                "tableName": table_name,
+                # no eventType: a heartbeat announces liveness, not data
+            }
+            entry = encode_message(
+                "Entry",
+                {
+                    "header": header,
+                    "entryType": ENTRY_TYPE["HEARTBEAT"],
+                    "storeValue": b"",
+                    "batchId": int(r.get("seq", 0)),
+                    "ip": ip,
+                },
+            )
+            out.append(((r.get("doc_id") or "").encode(), 0, 0, entry))
+            continue
+        if r["op"] == "R":
+            # statement passthrough — ROWS_QUERY / UserVar / IntVar /
+            # Rand all format as a bare QUERY RowChange{sql, eventType}
+            # with NO isDdl/tableId (buildQueryEntry,
+            # ProtobufConverter.java:176-205; IConvert.java:120-132) —
+            # consumers key on these for SQL audit trails
+            flush()
+            et = EVENT_TYPE["QUERY"]
+            store = encode_message(
+                "RowChange", {"eventType": et, "sql": r.get("sql") or ""}
+            )
+            out.append(((r.get("doc_id") or "").encode(), et, 0, entry_for(r, et, store)))
+            continue
         if r["op"] not in _OP_TO_EVENT:  # QUERY/DDL marker row
             flush()
             et = EVENT_TYPE["QUERY"]
@@ -485,7 +526,9 @@ def encode_entries(df: DataFrame, out_col: str = "entry") -> DataFrame:
                         "before_tokens": d.get("before_tokens", [None] * n)[i],
                         "seq": d.get("seq", [0] * n)[i],
                         "ts_ms": 0 if ts is None else int(ts.timestamp() * 1000),
-                        "sql": (extra or {}).get("ddl"),
+                        # DDL statements ride extra['ddl']; passthrough
+                        # statement rows (op 'R') ride extra['sql']
+                        "sql": (extra or {}).get("ddl") or (extra or {}).get("sql"),
                     }
                 )
             packets = pack_entries(rows)

@@ -2247,12 +2247,24 @@ def cdc_produce_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "cdc_proto_roundtrip",
     f"""
+    WITH log AS (SELECT * FROM '{_ORACLE_LOG_BASE}/sf{_SF_TOKEN}/log/*.parquet')
     SELECT doc_id,
            CASE op WHEN 'I' THEN 1 WHEN 'U' THEN 2 WHEN 'D' THEN 3 END
              AS event_type,
            md5(array_to_string(tokens, ',')) AS tokens_sig,
            n_tok, source
-    FROM '{_ORACLE_LOG_BASE}/sf{_SF_TOKEN}/log/*.parquet'
+    FROM log
+    UNION ALL  -- ROWS_QUERY statement passthroughs (op 'R')
+    SELECT CAST(NULL AS VARCHAR) AS doc_id, 7 AS event_type,
+           md5('SELECT /* audit */ ' || CAST(seq AS VARCHAR)) AS tokens_sig,
+           CAST(NULL AS INT) AS n_tok,
+           'RQ@' || CAST(seq AS VARCHAR) AS source
+    FROM log WHERE seq % 149 = 0
+    UNION ALL  -- HEARTBEAT entries (op 'H')
+    SELECT CAST(NULL AS VARCHAR) AS doc_id, 0 AS event_type,
+           CAST(NULL AS VARCHAR) AS tokens_sig, CAST(NULL AS INT) AS n_tok,
+           'HB@' || CAST(seq AS VARCHAR) AS source
+    FROM log WHERE seq % 211 = 0
     """,
 )
 def cdc_proto_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2265,7 +2277,14 @@ def cdc_proto_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     wire encoding and the packet assembly preserve every event's key,
     op, token text, and metadata exactly — the produce-path analog of
     the Avro envelope check, on the format the reference actually ships.
-    No collects; both passes are mapInArrow over partition batches."""
+    Passthrough entries ride the same stream: every 149th seq injects a
+    ROWS_QUERY statement row (op 'R' — bare RowChange{{sql, QUERY}},
+    IConvert.java:120-132 / ProtobufConverter.java:176-205) and every
+    211th a HEARTBEAT entry (op 'H', entryType 4, liveness header only);
+    the decode pass recovers the statement text and the heartbeat's
+    header offset, so the oracle hash also witnesses both passthrough
+    formats.  No collects; both passes are mapInArrow over partition
+    batches."""
     import pyarrow as pa
 
     from binlake_spark.changelog.generator import CHANGE_LOG_SCHEMA
@@ -2273,9 +2292,29 @@ def cdc_proto_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = _shared_log(sf_dir)
     log = spark.read.schema(CHANGE_LOG_SCHEMA).parquet(src)
-    packets = encode_entries(
-        log.select("op", "doc_id", "tokens", "n_tok", "source", "seq")
+    base = log.select("op", "doc_id", "tokens", "n_tok", "source", "seq", "extra")
+    rq = base.filter(F.col("seq") % 149 == 0).select(
+        F.lit("R").alias("op"),
+        F.col("doc_id"),
+        F.lit(None).cast("array<int>").alias("tokens"),
+        F.lit(None).cast("int").alias("n_tok"),
+        F.col("source"),
+        F.col("seq"),
+        F.create_map(
+            F.lit("sql"),
+            F.concat(F.lit("SELECT /* audit */ "), F.col("seq").cast("string")),
+        ).alias("extra"),
     )
+    hb = base.filter(F.col("seq") % 211 == 0).select(
+        F.lit("H").alias("op"),
+        F.col("doc_id"),
+        F.lit(None).cast("array<int>").alias("tokens"),
+        F.lit(None).cast("int").alias("n_tok"),
+        F.col("source"),
+        F.col("seq"),
+        F.lit(None).cast("map<string,string>").alias("extra"),
+    )
+    packets = encode_entries(base.unionByName(rq).unionByName(hb))
 
     out_schema = T.StructType(
         [
@@ -2295,7 +2334,24 @@ def cdc_proto_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             doc, et, sig, ntok, srcs = [], [], [], [], []
             for eb in d["entry"]:
                 entry = decode_message("Entry", bytes(eb))
+                if entry["entryType"] == 4:  # HEARTBEAT: liveness only
+                    doc.append(None)
+                    et.append(0)
+                    sig.append(None)
+                    ntok.append(None)
+                    srcs.append(f"HB@{entry['header']['logfileOffset']}")
+                    continue
                 rc = decode_message("RowChange", entry["storeValue"])
+                if rc.get("sql") is not None and not rc.get("isDdl"):
+                    # statement passthrough (ROWS_QUERY family)
+                    import hashlib as _h
+
+                    doc.append(None)
+                    et.append(rc["eventType"])
+                    sig.append(_h.md5(rc["sql"].encode()).hexdigest())
+                    ntok.append(None)
+                    srcs.append(f"RQ@{entry['header']['logfileOffset']}")
+                    continue
                 for rd in rc.get("rowDatas", []):
                     cols = rd.get("afterColumns") or rd.get("beforeColumns")
                     byname = {c["name"]: c for c in cols}

@@ -120,6 +120,14 @@ def ordered_produce(
         ops = d.get("op") or ["I"] * n
         ntoks = d.get("n_tok") or [None] * n
         sources = d.get("source") or [None] * n
+        extras = d.get("extra") or [None] * n
+
+        def _sql(i):
+            ex = extras[i]
+            if isinstance(ex, list):
+                ex = dict(ex)
+            return (ex or {}).get("ddl") or (ex or {}).get("sql")
+
         rows = [
             {
                 "op": ops[i],
@@ -128,6 +136,7 @@ def ordered_produce(
                 "n_tok": ntoks[i],
                 "source": sources[i],
                 "seq": d[seq_col][i],
+                "sql": _sql(i),
             }
             for i in range(n)
         ]

@@ -93,3 +93,52 @@ def test_ordered_produce_proto_format(spark):
         byname = {c["name"]: c for c in cols}
         got.add((int(r.seq), byname["doc_id"]["value"], byname["tokens"].get("value")))
     assert got == want
+
+
+def test_ordered_produce_proto_passthrough_entries(spark):
+    """ROWS_QUERY (op 'R') and HEARTBEAT (op 'H') entries are producible
+    through ordered_produce's proto format (IConvert.java:120-132):
+    statement text survives the round-trip, heartbeats carry the
+    liveness header only, and per-key ordering still holds."""
+    from binlake_spark.functions.proto_codec import decode_message
+
+    rows = []
+    for i in range(60):
+        rows.append((i, f"d{i % 7}", "I", [i, i + 1], 2, "web", None))
+        if i % 10 == 0:
+            rows.append(
+                (1000 + i, f"d{i % 7}", "R", None, None, None,
+                 {"sql": f"SELECT /* audit */ {i}"})
+            )
+        if i % 15 == 0:
+            rows.append((2000 + i, f"d{i % 7}", "H", None, None, None, None))
+    df = spark.createDataFrame(
+        rows,
+        "seq long, doc_id string, op string, tokens array<int>, n_tok int,"
+        " source string, extra map<string,string>",
+    )
+    out = ordered_produce(df, num_partitions=4, format="proto").collect()
+    assert len(out) == len(rows)
+    n_rq = n_hb = 0
+    for r in out:
+        entry = decode_message("Entry", bytes(r.entry))
+        if entry["entryType"] == 4:
+            n_hb += 1
+            assert entry["storeValue"] == b""
+            assert entry["header"]["logfileOffset"] == r.seq
+            continue
+        rc = decode_message("RowChange", entry["storeValue"])
+        if rc.get("sql") is not None and not rc.get("isDdl"):
+            n_rq += 1
+            assert rc["sql"] == f"SELECT /* audit */ {r.seq - 1000}"
+            assert rc["eventType"] == 7
+            assert "tableId" not in rc  # bare passthrough, not a DDL
+    assert n_rq == 6 and n_hb == 4
+    # ordering guarantee unchanged: seqs non-decreasing per partition
+    by_pt = {}
+    for r in out:
+        by_pt.setdefault(r.pt, []).append(r)
+    for rows_pt in by_pt.values():
+        rows_pt.sort(key=lambda r: r.emit_idx)
+        seqs = [r.seq for r in rows_pt]
+        assert seqs == sorted(seqs)
