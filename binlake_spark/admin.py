@@ -130,9 +130,22 @@ class AdminServer:
                         })
                     elif url.path == "/rollback":
                         v = body["version"]
-                        new_v = outer.table.rollback(
-                            int(v) if not isinstance(v, str) else v
-                        )
+                        # '3' means version 3, not a tag named "3" —
+                        # coerce digit strings so JSON clients that
+                        # stringify numbers still hit the version path
+                        if isinstance(v, str) and v.lstrip("-").isdigit():
+                            v = int(v)
+                        try:
+                            new_v = outer.table.rollback(
+                                int(v) if not isinstance(v, str) else v
+                            )
+                        except (FileNotFoundError, KeyError) as e:
+                            # unknown version/tag is the caller's error,
+                            # not a server fault
+                            self._json(404, {
+                                "error": f"unknown version or tag: {e}",
+                            })
+                            return
                         self._json(200, {
                             "status": "SUCCESS", "version": new_v,
                         })

@@ -60,6 +60,50 @@ def _decode_fake(payload: pd.Series) -> list[np.ndarray]:
     return out
 
 
+def pil_available() -> bool:
+    """Import guard for the optional real image decoder — PIL is not in
+    this container, so everything PIL-backed is gated on this and tests
+    skip cleanly when it returns False."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _decode_pil(payload: pd.Series, kinds: pd.Series) -> list[np.ndarray]:
+    """Real image decode (optional dependency): bytes → PIL → grayscale
+    pixels → 16-bin luminance histogram + log-length, the pixel-domain
+    twin of `_decode_fake`'s byte-domain vector (same FEATURE_DIM, so
+    downstream consumers are agnostic to which decoder ran).  Non-image
+    kinds and undecodable payloads fall back to the byte-statistics
+    vector rather than poisoning the whole batch."""
+    import io
+
+    from PIL import Image
+
+    out = []
+    for buf, kind in zip(payload, kinds):
+        if kind == "image" and buf:
+            try:
+                px = np.asarray(
+                    Image.open(io.BytesIO(buf)).convert("L"), dtype=np.uint8
+                ).ravel()
+                hist = np.bincount(px >> 4, minlength=16).astype(np.float32)
+                total = max(1.0, float(px.size))
+                out.append(
+                    np.concatenate(
+                        [hist / total, [np.log1p(len(buf))]]
+                    ).astype(np.float32)
+                )
+                continue
+            except Exception:
+                pass  # not a decodable image — byte-stats fallback below
+        out.append(_decode_fake(pd.Series([buf]))[0])
+    return out
+
+
 def extract_features(
     df: DataFrame,
     decode_stub: str = "fake",
@@ -67,10 +111,26 @@ def extract_features(
 ) -> DataFrame:
     """media → per-item feature vectors, Arrow-batched.
 
-    This is the integration point for a real decoder: replace
-    `_decode_fake` with a PIL/torchvision/ffmpeg call — the Spark plumbing
-    (schema, batching, partitioning) does not change.
-    """
+    ``decode_stub``:
+
+    - ``"fake"`` — deterministic byte-statistics vector (always
+      available; what the oracle checks);
+    - ``"pil"`` — real image decode via PIL (optional dependency;
+      raises ImportError here, driver-side, when PIL is absent);
+    - ``"auto"`` — PIL when importable, else the fake;
+    - ``"raise"`` — NotImplementedError at evaluation time (marks the
+      integration point in plumbing-only deployments).
+
+    The Spark plumbing (schema, batching, partitioning) is identical in
+    every mode — a jar-ful/PIL-ful deployment lights up real decode with
+    no plan change."""
+    if decode_stub == "auto":
+        decode_stub = "pil" if pil_available() else "fake"
+    if decode_stub == "pil" and not pil_available():
+        raise ImportError(
+            "decode_stub='pil' requires Pillow (pip install Pillow); "
+            "use 'fake' or 'auto' where the dependency is optional"
+        )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -79,7 +139,10 @@ def extract_features(
                     "media decode requires image/audio libs not present in "
                     "this container; use decode_stub='fake' for plumbing tests"
                 )
-            feats = _decode_fake(pdf[payload_col])
+            if decode_stub == "pil":
+                feats = _decode_pil(pdf[payload_col], pdf["kind"])
+            else:
+                feats = _decode_fake(pdf[payload_col])
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,

@@ -231,7 +231,13 @@ def jdbc_snapshot(spark: SparkSession, **options) -> DataFrame:
     try:
         return spark.read.format("jdbc").options(**opts).load()
     except Exception as e:  # pragma: no cover - driver jar not in CI image
-        raise RuntimeError(
-            "jdbc snapshot requires the database's JDBC driver jar "
-            "(add via spark.jars.packages, e.g. mysql:mysql-connector-j)"
-        ) from e
+        # only a missing driver CLASS earns the jar hint — bad
+        # credentials / unreachable host / unknown table are real errors
+        # that must surface as themselves, not be rewritten
+        msg = str(e)
+        if "ClassNotFoundException" in msg or "No suitable driver" in msg:
+            raise RuntimeError(
+                "jdbc snapshot requires the database's JDBC driver jar "
+                "(add via spark.jars.packages, e.g. mysql:mysql-connector-j)"
+            ) from e
+        raise

@@ -104,8 +104,9 @@ def test_lineage_n_zero_and_bad_n(spark, tmp_path):
 
 def test_admin_rollback_endpoint(spark, tmp_path):
     """POST /rollback reverts the table to a tag's state atomically and
-    reports the new version; bad versions are a 500 with an error body,
-    not a server death."""
+    reports the new version; digit strings mean versions (not tag
+    names), and unknown versions/tags are the caller's error — 404, not
+    a 500 server fault."""
     from binlake_spark.changelog import GenSpec, generate_change_log, write_change_log
     from binlake_spark.changelog.generator import CHANGE_LOG_SCHEMA
     from binlake_spark.streaming import CdcEngine
@@ -128,7 +129,16 @@ def test_admin_rollback_endpoint(spark, tmp_path):
         assert {r.doc_id: r.n_tok for r in table.read(spark).collect()} == good
 
         code, body = _post(srv.port, "/rollback", {"version": "no-such-tag"})
-        assert code == 500 and "error" in body
+        assert code == 404 and "error" in body
+
+        # '3' is version 3, not a tag lookup: a stringified version from
+        # a JSON client must behave exactly like the integer form
+        v_good = table.tags()["good"]
+        code, body = _post(srv.port, "/rollback", {"version": str(v_good)})
+        assert code == 200 and body["status"] == "SUCCESS"
+
+        code, body = _post(srv.port, "/rollback", {"version": "999999"})
+        assert code == 404 and "error" in body
 
         code, body = _post(srv.port, "/rollback", {})
         assert code == 400

@@ -677,3 +677,37 @@ def test_dup_clusters_raises_when_unconverged(spark):
         dup_clusters(pairs, max_iters=2)
     ok = {r.doc_id: r.cluster_id for r in dup_clusters(pairs, max_iters=20).collect()}
     assert set(ok.values()) == {0}
+
+
+def test_media_decode_pil_optional(spark):
+    """The real image decoder is an optional dependency: decode_stub='pil'
+    raises a clear driver-side ImportError when PIL is absent, 'auto'
+    silently falls back to the byte-stats stub, and with PIL installed
+    the pixel path actually decodes (skipped cleanly here when absent)."""
+    from binlake_spark.operators import multimodal as mm
+
+    d = spark.createDataFrame(
+        [("a", "image", b"\x00" * 64, None)],
+        "doc_id string, kind string, payload binary, meta map<string,string>",
+    )
+    if not mm.pil_available():
+        with pytest.raises(ImportError, match="Pillow"):
+            mm.extract_features(d, decode_stub="pil")
+        # auto degrades to the stub — identical rows to 'fake'
+        auto = mm.extract_features(d, decode_stub="auto").collect()
+        fake = mm.extract_features(d, decode_stub="fake").collect()
+        assert auto == fake
+        return
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("L", (8, 8), color=200).save(buf, format="PNG")
+    img = spark.createDataFrame(
+        [("a", "image", buf.getvalue(), None)],
+        "doc_id string, kind string, payload binary, meta map<string,string>",
+    )
+    row = mm.extract_features(img, decode_stub="pil").collect()[0]
+    # all 64 pixels have value 200 -> bin 12 holds the whole mass
+    assert abs(row.features[12] - 1.0) < 1e-6
