@@ -27,6 +27,13 @@ Endpoints (JSON in/out):
 * ``POST /reset-watermarks`` ``{"buckets": [..] | null}``
 * ``POST /rollback`` ``{"version": n | "tag"}`` — atomic revert to an
   earlier snapshot's state (LakeTable.rollback), auditable in lineage
+
+Fleet mode (the tower's many-instances registry, binlake-manager
+ApiCenter.java:27-34, made table-shaped): construct with
+``tables={"name": LakeTable, ...}`` and every route above is also served
+per table under ``/t/<name>/...``, plus ``GET /tables`` — one line of
+health per registered table.  One admin process, many tables — the same
+fan-in the tower gives one operator over a MySQL fleet.
 """
 
 from __future__ import annotations
@@ -38,9 +45,12 @@ from urllib.parse import parse_qs, urlparse
 
 
 class AdminServer:
-    def __init__(self, table, alarms=None, host: str = "127.0.0.1",
-                 port: int = 0):
-        self.table = table
+    def __init__(self, table=None, alarms=None, host: str = "127.0.0.1",
+                 port: int = 0, tables: dict | None = None):
+        if table is None and not tables:
+            raise ValueError("AdminServer needs a table or a tables registry")
+        self.table = table if table is not None else next(iter(tables.values()))
+        self.tables = dict(tables or {})
         self.alarms = alarms
         self._host, self._port = host, port
         self._httpd: ThreadingHTTPServer | None = None
@@ -68,22 +78,40 @@ class AdminServer:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def _route(self, path):
+                """(table, subpath) for fleet routes /t/<name>/..., or
+                (default table, path) for the flat per-table API."""
+                if path.startswith("/t/"):
+                    parts = path.split("/", 3)
+                    name = parts[2]
+                    sub = "/" + (parts[3] if len(parts) > 3 else "")
+                    return outer.tables.get(name), sub
+                return outer.table, path
+
             def do_GET(self):  # noqa: N802 — http.server API casing
                 url = urlparse(self.path)
+                table, path = self._route(url.path)
                 try:
-                    if url.path == "/alive":
+                    if url.path.startswith("/t/") and table is None:
+                        self._json(404, {"error": f"no table {url.path}"})
+                    elif path == "/tables":
+                        self._json(200, {
+                            name: outer._monitor(t)
+                            for name, t in sorted(outer.tables.items())
+                        })
+                    elif path == "/alive":
                         self._json(200, {"status": "SUCCESS"})
-                    elif url.path == "/monitor":
-                        self._json(200, outer._monitor())
-                    elif url.path == "/snapshot":
-                        self._json(200, outer.table.snapshot())
-                    elif url.path == "/offsets":
-                        snap = outer.table.snapshot()
+                    elif path == "/monitor":
+                        self._json(200, outer._monitor(table))
+                    elif path == "/snapshot":
+                        self._json(200, table.snapshot())
+                    elif path == "/offsets":
+                        snap = table.snapshot()
                         self._json(200, {
                             "watermarks": snap["watermarks"],
                             "epochs": snap["epochs"],
                         })
-                    elif url.path == "/lineage":
+                    elif path == "/lineage":
                         try:
                             n = int(parse_qs(url.query).get("n", ["20"])[0])
                         except ValueError:
@@ -93,9 +121,9 @@ class AdminServer:
                         # whole list)
                         self._json(
                             200,
-                            outer.table._all_lineage()[-n:] if n > 0 else [],
+                            table._all_lineage()[-n:] if n > 0 else [],
                         )
-                    elif url.path == "/alarms":
+                    elif path == "/alarms":
                         evs = [] if outer.alarms is None else [
                             {"severity": e.severity, "rule": e.rule,
                              "stream_id": e.stream_id,
@@ -110,25 +138,28 @@ class AdminServer:
 
             def do_POST(self):  # noqa: N802
                 url = urlparse(self.path)
+                table, path = self._route(url.path)
                 try:
                     n = int(self.headers.get("Content-Length", "0"))
                     body = json.loads(self.rfile.read(n) or b"{}")
-                    if url.path == "/set-position":
-                        prev = outer.table.set_stream_epoch(
+                    if url.path.startswith("/t/") and table is None:
+                        self._json(404, {"error": f"no table {url.path}"})
+                    elif path == "/set-position":
+                        prev = table.set_stream_epoch(
                             str(body["stream_id"]), int(body["epoch"])
                         )
                         self._json(200, {
                             "status": "SUCCESS", "previous_epoch": prev,
                             "epoch": int(body["epoch"]),
                         })
-                    elif url.path == "/reset-watermarks":
-                        cleared = outer.table.reset_watermarks(
+                    elif path == "/reset-watermarks":
+                        cleared = table.reset_watermarks(
                             body.get("buckets")
                         )
                         self._json(200, {
                             "status": "SUCCESS", "cleared": cleared,
                         })
-                    elif url.path == "/rollback":
+                    elif path == "/rollback":
                         v = body["version"]
                         # '3' means version 3, not a tag named "3" —
                         # coerce digit strings so JSON clients that
@@ -136,7 +167,7 @@ class AdminServer:
                         if isinstance(v, str) and v.lstrip("-").isdigit():
                             v = int(v)
                         try:
-                            new_v = outer.table.rollback(
+                            new_v = table.rollback(
                                 int(v) if not isinstance(v, str) else v
                             )
                         except (FileNotFoundError, KeyError) as e:
@@ -176,8 +207,9 @@ class AdminServer:
         self.stop()
 
     # -------------------------------------------------------------- #
-    def _monitor(self) -> dict:
-        snap = self.table.snapshot()
+    def _monitor(self, table=None) -> dict:
+        table = self.table if table is None else table
+        snap = table.snapshot()
         wms = [int(w) for w in snap["watermarks"].values()]
         return {
             "version": snap["version"],
@@ -186,6 +218,6 @@ class AdminServer:
             "epochs": snap["epochs"],
             "watermark_min": min(wms) if wms else None,
             "watermark_max": max(wms) if wms else None,
-            "lineage_entries": len(self.table._all_lineage()),
+            "lineage_entries": len(table._all_lineage()),
             "alarms": 0 if self.alarms is None else len(self.alarms.events),
         }

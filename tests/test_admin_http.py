@@ -142,3 +142,49 @@ def test_admin_rollback_endpoint(spark, tmp_path):
 
         code, body = _post(srv.port, "/rollback", {})
         assert code == 400
+
+
+def test_admin_fleet_registry(spark, tmp_path):
+    """Fleet mode (tower ApiCenter analog): one admin process serves N
+    tables — /tables lists per-table health, /t/<name>/... namespaces
+    every per-table route, unknown names 404."""
+    from binlake_spark.changelog import GenSpec, generate_change_log, write_change_log
+    from binlake_spark.changelog.generator import CHANGE_LOG_SCHEMA
+    from binlake_spark.streaming import CdcEngine
+    from pyspark.sql import functions as F
+
+    tables = {}
+    for name, n in (("orders", 200), ("docs", 300)):
+        pdf = generate_change_log(GenSpec(n_docs=10, n_events=n))
+        write_change_log(pdf, str(tmp_path / f"log_{name}"))
+        log = spark.read.schema(CHANGE_LOG_SCHEMA).parquet(str(tmp_path / f"log_{name}"))
+        t = CdcEngine.create_table(str(tmp_path / name), num_buckets=4)
+        CdcEngine(t).apply_batch(log, epoch_id=0)
+        tables[name] = t
+
+    with AdminServer(tables=tables) as srv:
+        code, listing = _get(srv.port, "/tables")
+        assert code == 200 and set(listing) == {"orders", "docs"}
+        assert all(m["buckets_with_data"] > 0 for m in listing.values())
+
+        code, snap = _get(srv.port, "/t/docs/snapshot")
+        assert code == 200 and int(snap["version"]) >= 1
+
+        code, mon = _get(srv.port, "/t/orders/monitor")
+        assert code == 200 and mon["version"] == listing["orders"]["version"]
+
+        code, _ = _get(srv.port, "/t/nope/snapshot")
+        assert code == 404
+
+        # POST routes namespace too: set-position on one table does not
+        # touch the other
+        code, body = _post(
+            srv.port, "/t/docs/set-position", {"stream_id": "s1", "epoch": 7}
+        )
+        assert code == 200 and body["epoch"] == 7
+        assert tables["docs"].snapshot()["epochs"].get("s1") == 7
+        assert "s1" not in tables["orders"].snapshot()["epochs"]
+
+        # the flat API still serves the default (first) table
+        code, alive = _get(srv.port, "/alive")
+        assert code == 200
