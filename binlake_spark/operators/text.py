@@ -93,3 +93,44 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         }
     )
+
+
+def repetition_score(
+    df: DataFrame,
+    text_col: str = "text",
+    ngram: int = 3,
+) -> DataFrame:
+    """Intra-document repetition (the Gopher/RefinedWeb quality rule the
+    inter-document dedup family can't see): per doc,
+
+    - ``dup_word_pml`` — ‰ of word occurrences beyond each word's first
+      (1000·(n_words − n_distinct_words) DIV n_words), and
+    - ``dup_ngram_pml`` — same for word-``ngram`` occurrences, the
+      boilerplate/loop-generation signal.
+
+    Integer ‰ arithmetic (DIV) so two engines agree exactly.  Pure JVM:
+    split + transform + array_distinct per row — no explode, no shuffle,
+    no Python; cost ∝ tokens, embarrassingly parallel at any scale."""
+    w = f"split({text_col}, ' ')"
+    # guard the short-doc case: sequence(1, 0) is a DESCENDING range in
+    # Spark and its i=0 slice throws (same trap as contamination's gram
+    # explode) — a doc shorter than the n-gram has zero n-grams
+    g = (
+        f"CASE WHEN size({w}) >= {ngram}"
+        f" THEN transform(sequence(1, size({w}) - {ngram} + 1),"
+        f"      i -> concat_ws(' ', slice({w}, i, {ngram})))"
+        f" ELSE CAST(array() AS array<string>) END"
+    )
+    # BIGINT ‰ via DIV (floor division, exact past 2^53 and identical to
+    # DuckDB's //) — never double division
+    dup_w = (
+        f"CASE WHEN size({w}) > 0 THEN CAST(size({w}) - size(array_distinct({w}))"
+        f" AS BIGINT) * 1000 DIV size({w}) ELSE CAST(0 AS BIGINT) END"
+    )
+    dup_g = (
+        f"CASE WHEN size({g}) > 0 THEN CAST(size({g}) - size(array_distinct({g}))"
+        f" AS BIGINT) * 1000 DIV size({g}) ELSE CAST(0 AS BIGINT) END"
+    )
+    return df.withColumns(
+        {"dup_word_pml": F.expr(dup_w), "dup_ngram_pml": F.expr(dup_g)}
+    )

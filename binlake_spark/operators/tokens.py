@@ -697,3 +697,34 @@ def stratified_sample(
     data never changes earlier keep/drop decisions."""
     u = (portable_hash(F.col(id_col).cast("string")) % 1000000) / 1000000.0
     return df.withColumn("_u", u).filter(F.col("_u") < rate_expr).drop("_u")
+
+
+def collapse_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 20,
+    broadcast_losers: bool | None = None,
+    broadcast_loser_limit: int = 4_000_000,
+) -> DataFrame:
+    """The dedup chain's final action: given the corpus and its
+    near-duplicate ``pairs`` (from :func:`dup_doc_pairs`, MinHash-LSH,
+    or embedding dedup), keep exactly one survivor — the minimum id —
+    per clone family and every untouched document.
+
+    Shape: :func:`dup_clusters` resolves components, the loser set
+    (``doc_id != cluster_id``, bounded by the docs appearing in pairs —
+    ≪ corpus) anti-joins the corpus under the usual tri-state broadcast
+    gate.  The corpus itself is never shuffled: with the broadcast the
+    anti-join is map-side."""
+    clusters = dup_clusters(pairs, a_col=a_col, b_col=b_col, max_iters=max_iters)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(
+        _gated_broadcast(losers, broadcast_losers, broadcast_loser_limit),
+        id_col,
+        "left_anti",
+    )

@@ -3304,6 +3304,43 @@ def cdc_compaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tok", "source", "lang", _tokens_sig()
     )
 
+@_register(
+    "text_repetition",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), g AS (
+      SELECT doc_id, ws,
+             CASE WHEN len(ws) >= 3 THEN
+               list_transform(generate_series(1, len(ws) - 2),
+                              i -> array_to_string(ws[i:i+2], ' '))
+             ELSE [] END AS gs
+      FROM w
+    )
+    SELECT doc_id,
+           CASE WHEN len(ws) > 0
+                THEN CAST(len(ws) - len(list_distinct(ws)) AS BIGINT) * 1000 // len(ws)
+                ELSE CAST(0 AS BIGINT) END AS dup_word_pml,
+           CASE WHEN len(gs) > 0
+                THEN CAST(len(gs) - len(list_distinct(gs)) AS BIGINT) * 1000 // len(gs)
+                ELSE CAST(0 AS BIGINT) END AS dup_ngram_pml
+    FROM g
+    """,
+    driver=False,  # registry capped at 50; oracle-checked by pytest
+)
+def text_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition ‰ (Gopher/RefinedWeb quality rule —
+    operators/text.py:repetition_score): duplicated-word and duplicated
+    word-3-gram per-mil per doc, integer DIV in both engines.  Pure
+    per-row JVM expression — no shuffle, embarrassingly parallel."""
+    from binlake_spark.operators.text import repetition_score
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_score(d, ngram=3).select(
+        "doc_id", "dup_word_pml", "dup_ngram_pml"
+    )
+
+
 # --------------------------------------------------------------------- #
 # Driver-row consolidation (round 4): the harness records a CORRECTNESS
 # row for at most 50 queries (round 3 recorded exactly the first 50 in

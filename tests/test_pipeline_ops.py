@@ -711,3 +711,48 @@ def test_media_decode_pil_optional(spark):
     row = mm.extract_features(img, decode_stub="pil").collect()[0]
     # all 64 pixels have value 200 -> bin 12 holds the whole mass
     assert abs(row.features[12] - 1.0) < 1e-6
+
+
+def test_repetition_score_bruteforce_and_short_docs(spark):
+    """Intra-doc repetition ‰ matches a python brute force, including the
+    short-doc (< ngram words) and single-word edge cases."""
+    from binlake_spark.operators.text import repetition_score
+
+    rows = [
+        (1, "a b c a b c a b c"),          # heavy 3-gram repetition
+        (2, "all distinct words here now"),
+        (3, "x"),                           # shorter than the ngram
+        (4, "y y"),                          # dup words, no 3-gram
+        (5, "spam spam spam spam spam spam"),
+    ]
+    got = {
+        r.doc_id: (r.dup_word_pml, r.dup_ngram_pml)
+        for r in repetition_score(
+            spark.createDataFrame(rows, "doc_id long, text string"), ngram=3
+        ).collect()
+    }
+    for doc_id, text in rows:
+        ws = text.split(" ")
+        gs = [" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)] if len(ws) >= 3 else []
+        dw = (len(ws) - len(set(ws))) * 1000 // len(ws) if ws else 0
+        dg = (len(gs) - len(set(gs))) * 1000 // len(gs) if gs else 0
+        assert got[doc_id] == (dw, dg), (doc_id, got[doc_id], (dw, dg))
+
+
+def test_collapse_clusters_keeps_min_survivor(spark):
+    """collapse_clusters keeps exactly the min-id survivor per clone
+    family plus every untouched doc, and never shuffles the corpus
+    (broadcast anti-join)."""
+    from binlake_spark.operators.tokens import collapse_clusters
+
+    corpus = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(10)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 7)], "doc_a long, doc_b long"
+    )
+    out = collapse_clusters(corpus, pairs, broadcast_losers=True)
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == [0, 1, 4, 5, 6, 8, 9]  # 2,3 fold into 1; 7 into 5
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
