@@ -6,7 +6,10 @@ tables, asserting each stage's invariant:
 
 1. **tokenize** — deterministic word→id arrays (portable hash ids);
 2. **exact dedup + duplicated-window screen** — drop exact clones
-   (planted), report cross-doc repeated 8-token spans;
+   (planted), report cross-doc repeated 8-token spans; then resolve
+   near-dup pairs into clone families and keep the min-id survivor
+   (planted leaks fold into their originals), and flag planted
+   boilerplate via the intra-doc repetition rule;
 3. **contamination screen** — drop documents whose 5-gram containment
    against a benchmark split exceeds threshold (planted leaks);
 4. **mixture weights** — α=1/2 temperature-scaled per-source sampling
@@ -25,8 +28,11 @@ import sys
 
 from pyspark.sql import functions as F
 
+from binlake_spark.operators.text import repetition_score
 from binlake_spark.operators.tokens import (
+    collapse_clusters,
     contamination,
+    dup_doc_pairs,
     dup_token_windows,
     mixture_weights,
     pack_sequences,
@@ -72,6 +78,36 @@ def main() -> int:
     n_flagged = flagged.count()
     assert n_flagged > 0  # leaks share all their windows with bench docs
     print(f"window screen: {n_flagged} docs carry cross-doc 8-token spans ✓")
+
+    # 2b. near-dup resolution: each planted leak ("leak " + original)
+    # shares every original 8-token window -> pairs with its source;
+    # min-id survivor selection keeps the original and folds the leak
+    pairs = dup_doc_pairs(t, window=8, stride=1, min_shared=3)
+    leak_pairs = pairs.filter(
+        (F.col("doc_b") >= 2_000_000)
+        & (F.col("doc_a") == F.col("doc_b") - 2_000_000)
+    ).count()
+    n_leaks = deduped.filter(F.col("doc_id") >= 2_000_000).count()
+    assert leak_pairs == n_leaks, (leak_pairs, n_leaks)
+    survivors = collapse_clusters(t, pairs, broadcast_losers=True)
+    assert survivors.filter(F.col("doc_id") >= 2_000_000).count() == 0
+    print(f"near-dup resolution: {leak_pairs} leak→origin pairs, min-id "
+          f"survivors keep all originals ✓")
+
+    # 2c. intra-doc repetition screen: a planted boilerplate document
+    # (one clause looped) must light up the Gopher-style rule while the
+    # organic corpus stays clear of the threshold
+    boiler = spark.createDataFrame(
+        [(3_000_000, ("lorem ipsum dolor sit amet " * 40).strip(), "web")],
+        "doc_id long, text string, source string",
+    )
+    rep = repetition_score(deduped.unionByName(boiler), ngram=3)
+    flagged_rep = rep.filter(F.col("dup_ngram_pml") > 800)
+    ids = {r.doc_id for r in flagged_rep.select("doc_id").collect()}
+    assert 3_000_000 in ids, "boilerplate doc must be flagged"
+    assert len(ids) <= max(1, deduped.count() // 20), ids  # organic corpus clear
+    print(f"repetition screen: boilerplate flagged at "
+          f">800‰ dup 3-grams, {len(ids) - 1} organic docs over threshold ✓")
 
     # 3. contamination: every planted leak is caught — and the benchmark
     # members themselves (containment 1.0 against their own grams) are
