@@ -36,10 +36,14 @@ def _shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
     """Distinct word n-gram 64-bit hashes per doc: (id, gh)."""
-    words = F.split(F.col(text_col), " ")
+    # sequence(0, -1) is a DESCENDING range in Spark and its i=-1 slice
+    # throws at runtime — a doc shorter than n words has zero n-grams
+    w = f"split({text_col}, ' ')"
     grams = F.expr(
-        f"transform(sequence(0, greatest(size(split({text_col}, ' ')) - {n}, -1)),"
-        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n})))"
+        f"CASE WHEN size({w}) >= {n}"
+        f" THEN transform(sequence(0, size({w}) - {n}),"
+        f"      i -> concat_ws(' ', slice({w}, i + 1, {n})))"
+        f" ELSE CAST(array() AS array<string>) END"
     )
     return (
         df.select(F.col(id_col).alias("_id"), F.explode(grams).alias("_g"))

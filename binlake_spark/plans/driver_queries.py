@@ -711,8 +711,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.explode(
                 F.expr(
-                    "transform(sequence(0, greatest(size(split(text, ' ')) - 3, -1)),"
+                    "CASE WHEN size(split(text, ' ')) >= 3 THEN"
+                    " transform(sequence(0, size(split(text, ' ')) - 3),"
                     " i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
+                    " ELSE CAST(array() AS array<string>) END"
                 )
             ).alias("g"),
         )
@@ -2525,8 +2527,10 @@ def dedup_minhash_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.explode(
                 F.expr(
-                    "transform(sequence(0, greatest(size(split(text, ' ')) - 3, -1)),"
+                    "CASE WHEN size(split(text, ' ')) >= 3 THEN"
+                    " transform(sequence(0, size(split(text, ' ')) - 3),"
                     " i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
+                    " ELSE CAST(array() AS array<string>) END"
                 )
             ).alias("g"),
         )

@@ -756,3 +756,24 @@ def test_collapse_clusters_keeps_min_survivor(spark):
     assert kept == [0, 1, 4, 5, 6, 8, 9]  # 2,3 fold into 1; 7 into 5
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_dedup_gram_generators_tolerate_short_docs(spark):
+    """Every gram generator must treat docs shorter than n words as
+    zero-gram, not crash (Spark sequence(0,-1) is descending and its
+    i<=0 slice throws) — the contamination ADVICE fix, swept across
+    the dedup family."""
+    from binlake_spark.operators.dedup import (
+        minhash_lsh,
+        ngram_jaccard_pairs,
+        simhash_near_dups,
+    )
+
+    d = spark.createDataFrame(
+        [(1, ""), (2, "one two"), (3, "a b c d e f g h"), (4, "a b c d e f g h")],
+        "doc_id long, text string",
+    )
+    assert ngram_jaccard_pairs(d, threshold=0.8, max_df=None).count() == 1
+    assert minhash_lsh(d, threshold=0.8).count() == 1
+    pairs = {(r.doc_a, r.doc_b) for r in simhash_near_dups(d, max_hamming=0).collect()}
+    assert (3, 4) in pairs
