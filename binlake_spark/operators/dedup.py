@@ -221,10 +221,21 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_df: int | None = 1000,
+    broadcast_drop: bool | None = None,
+    broadcast_drop_limit: int = 4_000_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard via posting-list self-join.  ``max_df`` drops
     stop-grams whose posting lists would blow up the join (documented cap:
-    a pair sharing only ultra-common grams can be missed)."""
+    a pair sharing only ultra-common grams can be missed).
+
+    The cap is applied as an ANTI-join against the DROP set (grams with
+    df > ``max_df``) rather than an inner join against the keep set: the
+    keep set is nearly every distinct gram (corpus-sized — joining it
+    back reshuffles the whole posting list), while the drop set is the
+    handful of boilerplate grams, small enough to broadcast under the
+    usual tri-state gate — the join-back then costs no shuffle at all."""
+    from binlake_spark.operators.tokens import gated_broadcast
+
     # materialize the posting list once: it feeds the doc-size aggregate,
     # the stop-gram df aggregate, and BOTH sides of the candidate
     # self-join — without this the shingle explode+distinct re-runs for
@@ -232,8 +243,17 @@ def ngram_jaccard_pairs(
     sh = _shingles(df, id_col, text_col, n).localCheckpoint()
     cnt = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     if max_df is not None:
-        dfq = sh.groupBy("_gh").agg(F.count(F.lit(1)).alias("_df"))
-        sh_j = sh.join(dfq.filter(F.col("_df") <= max_df).select("_gh"), "_gh")
+        drop = (
+            sh.groupBy("_gh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("_gh")
+        )
+        sh_j = sh.join(
+            gated_broadcast(drop, broadcast_drop, broadcast_drop_limit),
+            "_gh",
+            "left_anti",
+        )
     else:
         sh_j = sh
     inter = (

@@ -55,7 +55,7 @@ def shard_expr(key: Column | str, n_shards: int) -> Column:
     return (portable_hash(k.cast("string")) % int(n_shards)).cast("int")
 
 
-def _gated_broadcast(
+def gated_broadcast(
     df: DataFrame, pin: bool | None, limit: int
 ) -> DataFrame:
     """Tri-state broadcast gate — the same contract as the engine's
@@ -248,7 +248,7 @@ def contamination(
     # small side by construction — broadcast it (gated) so the screen is
     # a map-side semi-join over the corpus, no wide shuffle of candidates
     cand = grams(df, "doc_id").localCheckpoint()
-    bench_grams = _gated_broadcast(
+    bench_grams = gated_broadcast(
         grams(benchmark, "bench_id").select("g").distinct(),
         broadcast_bench,
         broadcast_bench_limit,
@@ -459,7 +459,7 @@ def dup_doc_pairs(
         .select("wh")
     )
     kept = wins.join(
-        _gated_broadcast(keep_whs, broadcast_keys, broadcast_key_limit),
+        gated_broadcast(keep_whs, broadcast_keys, broadcast_key_limit),
         "wh",
         "left_semi",
     ).localCheckpoint()
@@ -582,7 +582,7 @@ def dup_token_windows(
         .select("wh")
     )
     marked = wins.join(
-        _gated_broadcast(
+        gated_broadcast(
             dup_whs.withColumn("_dup", F.lit(1)),
             broadcast_keys,
             broadcast_key_limit,
@@ -724,7 +724,7 @@ def collapse_clusters(
         F.col("doc_id").alias(id_col)
     )
     return df.join(
-        _gated_broadcast(losers, broadcast_losers, broadcast_loser_limit),
+        gated_broadcast(losers, broadcast_losers, broadcast_loser_limit),
         id_col,
         "left_anti",
     )

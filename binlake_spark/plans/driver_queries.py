@@ -728,13 +728,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     cnt = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    keep = (
+    # apply the df-cap as a broadcast ANTI-join on the (tiny) drop set —
+    # the keep set is nearly every gram, and inner-joining it back
+    # reshuffled the whole posting list (r3 plan); the drop set is the
+    # boilerplate handful, so the cap now costs no shuffle
+    drop = (
         grams.groupBy("h")
         .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") <= 50)
+        .filter(F.col("_df") > 50)
         .select("h")
     )
-    gj = grams.join(keep, "h")
+    gj = grams.join(F.broadcast(drop), "h", "left_anti")
     g2 = gj.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("h"))
     inter = (
         gj.join(g2, (gj.h == g2.h) & (gj.doc_id < g2.doc_b))
