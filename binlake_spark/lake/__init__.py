@@ -3,6 +3,7 @@ from binlake_spark.lake.feed import ChangeFeedReader, FeedBehindRetention
 from binlake_spark.lake.ivm import (
     FeedAggregate,
     TokenVocabAggregate,
+    WindowIndexAggregate,
     token_vocab_drift,
 )
 from binlake_spark.lake.merge import (
@@ -18,6 +19,7 @@ __all__ = [
     "FeedBehindRetention",
     "LakeTable",
     "TokenVocabAggregate",
+    "WindowIndexAggregate",
     "compact_buckets",
     "merge_into",
     "merge_into_mor",

@@ -355,3 +355,80 @@ def _rewrite_pre(expr: str, table: LakeTable) -> str:
     for c in cols:
         out = re.sub(rf"\b{re.escape(c)}\b", f"_pre.{c}", out)
     return out
+
+
+class WindowIndexAggregate(FeedAggregate):
+    """The substring-dedup candidate index — per-fingerprint document
+    frequency over distinct ``window``-token spans — maintained
+    incrementally from the change feed.
+
+    ``dup_token_windows`` / ``dup_doc_pairs`` (operators/tokens.py) start
+    from exactly this (wh → df) map; recomputing it means re-exploding
+    every token window of a 10^10-doc corpus per dedup run.  This view
+    keeps it current as CDC lands: each changed document contributes ±1
+    per distinct fingerprint of its post/pre image (a doc that keeps a
+    span across an update nets to zero; a span vanishing from its last
+    doc drops out of the state).  Refresh cost is ∝ the window's changed
+    docs' token content — the write rate, never corpus size — the same
+    flat-refresh regime IVM_BENCH measures for :class:`TokenVocabAggregate`.
+
+    State: ``(wh, n_rows)`` with ``n_rows`` = document frequency;
+    :meth:`dup_windows` is the df ≥ 2 duplicated-span set (the gated
+    join-back side of the batch detectors), :meth:`stop_windows` the
+    df > ``max_df`` drop set the pair-resolution stage anti-joins.
+    Commit/crash semantics (atomic state+position publish, reset and
+    re-bootstrap) are inherited from :class:`FeedAggregate`.
+    """
+
+    def __init__(
+        self,
+        table: LakeTable,
+        path: str,
+        window: int = 8,
+        stride: int = 1,
+        tokens_col: str = "tokens",
+    ):
+        super().__init__(table, path, group_cols=["wh"])
+        self.window = int(window)
+        self.stride = int(stride)
+        self.tokens_col = tokens_col
+
+    # ------------------------------------------------------------------ #
+    def _fp_contribs(self, df: DataFrame, tokens, sign: int) -> DataFrame:
+        """Distinct (doc, wh) fingerprints of one image set → signed ±1
+        contributions per wh (pre-distinct per doc, so an update that
+        keeps a span nets exactly zero against its preimage)."""
+        from binlake_spark.operators.tokens import window_fingerprints
+
+        key = self.table.snapshot()["key_col"]
+        frame = df.select(F.col(key).alias("_k"), tokens.alias("_t"))
+        fps = window_fingerprints(
+            frame, self.window, self.stride, tokens_col="_t", id_col="_k"
+        )
+        return fps.select("wh", F.lit(sign).cast("long").alias("_d_rows"))
+
+    def _bootstrap_contribs(self, base: DataFrame) -> DataFrame:
+        return self._fp_contribs(base, F.col(self.tokens_col), 1)
+
+    def _deltas(self, changes: DataFrame) -> DataFrame:
+        op = F.col("_change_op")
+        t = self.tokens_col
+        post = self._fp_contribs(changes.filter(op.isin("I", "U")), F.col(t), 1)
+        dele = self._fp_contribs(changes.filter(op == "D"), F.col(t), -1)
+        upd_pre = self._fp_contribs(
+            changes.filter(op == "U"), F.col(f"_pre.{t}"), -1
+        )
+        return post.unionByName(dele).unionByName(upd_pre)
+
+    # ------------------------------------------------------------------ #
+    def dup_windows(self, spark: SparkSession) -> DataFrame:
+        """Duplicated-span set: (wh, n_docs) with df ≥ 2 — the candidate
+        join-back side of the batch substring-dedup detectors."""
+        return self.read(spark).filter(F.col("n_rows") >= 2).select(
+            "wh", F.col("n_rows").alias("n_docs")
+        )
+
+    def stop_windows(self, spark: SparkSession, max_df: int = 50) -> DataFrame:
+        """Boilerplate spans (df > ``max_df``) — the drop set the
+        pair-resolution stage anti-joins before its self-join."""
+        return self.read(spark).filter(F.col("n_rows") > int(max_df)).select("wh")

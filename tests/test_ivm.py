@@ -388,3 +388,81 @@ def test_token_vocab_drift_equals_full_histogram_diff(spark, tmp_path):
         for r in token_vocab_drift(spark, table, from_version=v_a).collect()
     }
     assert got == want
+
+
+def test_window_index_ivm_tracks_batch_recompute(spark, tmp_path):
+    """The incrementally-maintained substring-dedup index (wh → df) must
+    equal the batch window_fingerprints recompute of the final table
+    after every epoch — inserts, edits (pre-image retraction), and
+    deletes included — and its dup/stop sets must match the batch
+    detectors' candidate sets."""
+    from binlake_spark.lake import WindowIndexAggregate
+    from binlake_spark.operators.tokens import window_fingerprints
+
+    pdf = generate_change_log(
+        GenSpec(n_docs=40, n_events=1000, events_per_epoch=250,
+                retransmit_frac=0.1, hot_keys=3, hot_frac=0.3)
+    )
+    df = _log_df(spark, tmp_path, pdf)
+    table = CdcEngine.create_table(str(tmp_path / "docs"), num_buckets=8)
+    engine = CdcEngine(table)
+    W_, S_ = 8, 1
+    agg = WindowIndexAggregate(
+        table, str(tmp_path / "winidx"), window=W_, stride=S_
+    )
+
+    def batch_df_counts():
+        fps = window_fingerprints(
+            table.read(spark).select("doc_id", "tokens"), W_, S_
+        )
+        return {
+            (r.wh, r.n) for r in
+            fps.groupBy("wh").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+
+    epochs = sorted(pdf["epoch_hint"].unique())
+    for i, ep in enumerate(epochs):
+        engine.apply_batch(df.filter(F.col("epoch_hint") == int(ep)), epoch_id=i)
+        assert agg.refresh(spark) is True
+        got = {(r.wh, r.n_rows) for r in agg.read(spark).collect()}
+        assert got == batch_df_counts(), f"diverged at epoch {i}"
+    assert agg.refresh(spark) is False  # caught up
+
+    # plant clone documents (random token arrays never share an 8-token
+    # span organically): 5 copies of one doc's tokens under new keys,
+    # applied as a real CDC epoch so the index must pick the duplicated
+    # spans up through the feed
+    src = table.read(spark).filter(F.size("tokens") >= W_).limit(1).collect()[0]
+    max_seq = int(pdf["seq"].max())
+    clones = pd.DataFrame(
+        {
+            "seq": [max_seq + 1 + i for i in range(5)],
+            "server_uuid": ["u"] * 5,
+            "gno": [max_seq + 1 + i for i in range(5)],
+            "trx_id": [1] * 5,
+            "ts": [pd.Timestamp("2026-01-01")] * 5,
+            "op": ["I"] * 5,
+            "doc_id": [f"clone-{i}" for i in range(5)],
+            "tokens": [list(src.tokens)] * 5,
+            "n_tok": [len(src.tokens)] * 5,
+            "source": ["web"] * 5,
+            "payload": [np.asarray(src.tokens, dtype="<i4").tobytes()] * 5,
+            "before_payload": [None] * 5,
+            "schema_ver": [1] * 5,
+            "extra": [None] * 5,
+            "epoch_hint": [len(epochs)] * 5,
+        }
+    )
+    engine.apply_batch(_log_df(spark, tmp_path, clones, sub="clones"),
+                       epoch_id=len(epochs))
+    assert agg.refresh(spark) is True
+    got = {(r.wh, r.n_rows) for r in agg.read(spark).collect()}
+    assert got == batch_df_counts(), "diverged after planted clones"
+
+    # the consumer surfaces match the batch detectors' candidate sets
+    dup = {r.wh for r in agg.dup_windows(spark).collect()}
+    batch_dup = {wh for wh, n in batch_df_counts() if n >= 2}
+    assert dup == batch_dup and len(dup) > 0
+    stop = {r.wh for r in agg.stop_windows(spark, max_df=3).collect()}
+    batch_stop = {wh for wh, n in batch_df_counts() if n > 3}
+    assert stop == batch_stop and len(stop) > 0  # 6 carriers > 3
