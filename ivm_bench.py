@@ -1,8 +1,9 @@
 """IVM refresh-cost evidence: one JSON line.
 
-Claim under test (lake/ivm.py): a TokenVocabAggregate / FeedAggregate
-refresh costs ∝ the epoch's changed buckets (manifest-pruned feed
-window), NOT the table size.
+Claim under test (lake/ivm.py): a TokenVocabAggregate / FeedAggregate /
+WindowIndexAggregate refresh costs ∝ the epoch's changed buckets
+(manifest-pruned feed window), NOT the table size.
+BINLAKE_IVM_AGG=vocab (default) | winidx selects the aggregate.
 
 Protocol: tables of 1x/4x/16x rows with bucket count scaled to keep
 bucket SIZE constant (the production sizing — at 10^10 rows you grow
@@ -32,6 +33,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from bench_util import cpu_probe  # noqa: E402
 
 BASE_DOCS = int(os.environ.get("BINLAKE_IVM_BASE_DOCS", "20000"))
+AGG = os.environ.get("BINLAKE_IVM_AGG", "vocab")
 SCALES = ((1, 32), (4, 128), (16, 512))  # (table scale, num_buckets)
 REPS = int(os.environ.get("BINLAKE_IVM_REPS", "2"))
 
@@ -39,7 +41,8 @@ REPS = int(os.environ.get("BINLAKE_IVM_REPS", "2"))
 def main() -> int:
     from binlake_spark.changelog import GenSpec, generate_change_log, write_change_log
     from binlake_spark.changelog.generator import CHANGE_LOG_SCHEMA
-    from binlake_spark.lake import TokenVocabAggregate
+    from binlake_spark.lake import TokenVocabAggregate, WindowIndexAggregate
+    from binlake_spark.operators.tokens import window_fingerprints
     from binlake_spark.session import get_spark
     from binlake_spark.streaming import CdcEngine
 
@@ -78,7 +81,10 @@ def main() -> int:
                 spark.read.schema(CHANGE_LOG_SCHEMA).parquet(f"{wdir}/base"),
                 epoch_id=0,
             )
-            vocab = TokenVocabAggregate(table, f"{wdir}/vocab")
+            if AGG == "winidx":
+                vocab = WindowIndexAggregate(table, f"{wdir}/winidx")
+            else:
+                vocab = TokenVocabAggregate(table, f"{wdir}/vocab")
             vocab.refresh(spark)  # bootstrap (full scan, expected ∝ table)
 
             engine.apply_batch(
@@ -110,10 +116,16 @@ def main() -> int:
                 best_win = dt if best_win is None else min(best_win, dt)
 
             # contrast: from-scratch recompute over the full table
-            best_full = None
-            for _ in range(max(1, REPS)):
-                t0 = time.monotonic()
-                (
+            def full_plan():
+                if AGG == "winidx":
+                    return (
+                        window_fingerprints(
+                            table.read(spark).select("doc_id", "tokens")
+                        )
+                        .groupBy("wh")
+                        .agg(F.count(F.lit(1)).alias("n_rows"))
+                    )
+                return (
                     table.read(spark)
                     .select("doc_id", F.explode("tokens").alias("tok"))
                     .groupBy("tok")
@@ -121,10 +133,12 @@ def main() -> int:
                         F.countDistinct("doc_id").alias("n_docs"),
                         F.count("*").alias("n_occ"),
                     )
-                    .write.mode("overwrite")
-                    .format("noop")
-                    .save()
                 )
+
+            best_full = None
+            for _ in range(max(1, REPS)):
+                t0 = time.monotonic()
+                full_plan().write.mode("overwrite").format("noop").save()
                 dt = time.monotonic() - t0
                 best_full = dt if best_full is None else min(best_full, dt)
 
@@ -145,7 +159,7 @@ def main() -> int:
         print(
             json.dumps(
                 {
-                    "metric": "vocab_ivm_refresh_vs_table_size",
+                    "metric": f"{AGG}_ivm_refresh_vs_table_size",
                     "rows": rows,
                     "refresh_growth_1x_to_16x": round(
                         rn["refresh_sec"] / r1["refresh_sec"], 2
