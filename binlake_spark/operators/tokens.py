@@ -68,6 +68,10 @@ def gated_broadcast(
         return F.broadcast(df)
     if pin is False:
         return df
+    # auto path: materialize once, THEN count — a bare df.count() here
+    # would run the whole derivation eagerly and the join would recompute
+    # it a second time (the gate would cost two passes; ADVICE r4)
+    df = df.localCheckpoint(eager=True)
     return F.broadcast(df) if df.count() <= int(limit) else df
 
 
@@ -217,50 +221,70 @@ def contamination(
     gram explode (``sequence(0, -1)`` is a *descending* range in Spark,
     so the unfiltered form would crash on the first short document).
 
-    Shape: distinct grams per side, equi-join on the gram hash (the
-    benchmark side is normally the small one — broadcast), count /
-    total.  Never all-pairs; cost ∝ matching grams.  ``broadcast_bench``
-    is the engine-style tri-state: ``True`` pins the broadcast (real
-    benchmark suites are ≤ millions of grams), ``False`` forces the
-    shuffle equi-join, ``None`` (default) counts the gram set and
+    Shape: per-document distinct gram-hash ARRAYS built map-side
+    (``array_distinct`` over a ``transform`` — a doc's grams all live in
+    its own row, so per-doc dedup needs no corpus-wide shuffle, and the
+    per-doc total ``n_grams`` is just ``size(...)``, computed in the same
+    map stage instead of a separate aggregation + join-back); then one
+    explode → equi-join on the gram hash against the (small) benchmark
+    gram set → one doc-keyed groupBy.  Never all-pairs; exactly one wide
+    shuffle over the candidate side.  ``broadcast_bench`` is the
+    engine-style tri-state: ``True`` pins the broadcast (real benchmark
+    suites are ≤ millions of grams), ``False`` forces the shuffle
+    equi-join, ``None`` (default) materializes + counts the gram set and
     broadcasts only under ``broadcast_bench_limit`` — a giant
     "benchmark" (e.g. screening corpus-vs-corpus overlap) takes the
     shuffle path instead of OOMing the driver."""
+    words = f"split({text_col}, ' ')"
+    # the gram text never matters downstream, only membership — carry
+    # the portable 60-bit hash so shuffle rows and the broadcast set
+    # are fixed-width, the same trick as the ngram-Jaccard op
+    gram_hashes = F.expr(
+        f"array_distinct(transform(sequence(0, size({words}) - {n}),"
+        f" i -> cast(conv(substring(md5("
+        f"concat_ws(' ', slice({words}, i + 1, {n}))"
+        f"), 1, 15), 16, 10) AS bigint)))"
+    )
+    short_guard = F.size(F.split(F.col(text_col), " ")) >= n
 
-    def grams(frame: DataFrame, alias: str) -> DataFrame:
-        words = f"split({text_col}, ' ')"
-        g = F.expr(
-            f"transform(sequence(0, size({words}) - {n}),"
-            f" i -> concat_ws(' ', slice({words}, i + 1, {n})))"
-        )
-        # the gram text never matters downstream, only membership — carry
-        # the portable 60-bit hash so shuffle rows and the broadcast set
-        # are fixed-width (16 B), the same trick as the ngram-Jaccard op
-        return (
-            frame.filter(F.size(F.split(F.col(text_col), " ")) >= n)
-            .select(F.col(id_col).alias(alias), F.explode(g).alias("_g"))
-            .select(alias, portable_hash(F.col("_g")).alias("g"))
-            .distinct()
-        )
-
-    # materialize the candidate posting list once (it feeds both the
-    # per-doc total and the hit count); the benchmark gram set is the
-    # small side by construction — broadcast it (gated) so the screen is
-    # a map-side semi-join over the corpus, no wide shuffle of candidates
-    cand = grams(df, "doc_id").localCheckpoint()
+    # The gram array MUST become a named attribute below the explode:
+    # size(<expr>) + explode(<expr>) in one projection makes Catalyst
+    # inline the md5-heavy expression into the post-Generate project,
+    # re-evaluating it per OUTPUT row — O(grams²) per doc (measured 25×
+    # at sf0.1).  Exploding (g, n_grams) STRUCTS (size() is O(1) on the
+    # bound attribute) also avoids copying the whole array into every
+    # generated UnsafeRow.
+    arrs = df.filter(short_guard).select(
+        F.col(id_col).alias("doc_id"), gram_hashes.alias("_gs")
+    )
+    cand = arrs.select(
+        "doc_id",
+        F.expr(
+            "explode(transform(_gs, x -> struct(x AS g, size(_gs) AS ng)))"
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        F.col("s.g").alias("g"),
+        F.col("s.ng").cast("long").alias("n_grams"),
+    )
     bench_grams = gated_broadcast(
-        grams(benchmark, "bench_id").select("g").distinct(),
+        benchmark.filter(short_guard)
+        .select(F.explode(gram_hashes).alias("g"))
+        .distinct(),
         broadcast_bench,
         broadcast_bench_limit,
     )
-    totals = cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    hits = (
+    # docs with zero benchmark hits can never clear a positive threshold
+    # (and the historical contract never emitted hit-less rows), so the
+    # inner join IS the totals bookkeeping — n_grams rides the exploded
+    # rows and comes back out as max()
+    return (
         cand.join(bench_grams, "g")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
-    )
-    return (
-        totals.join(hits, "doc_id", "inner")
+        .agg(
+            F.max("n_grams").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_hit"),
+        )
         .withColumn(
             "containment",
             F.round(F.col("n_hit").cast("double") / F.col("n_grams"), 4),
@@ -380,6 +404,33 @@ def bpe_train(
     return merges, cur
 
 
+def window_fingerprint_arrays(
+    df: DataFrame,
+    window: int = 8,
+    stride: int = 1,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document DISTINCT window-fingerprint arrays, built entirely
+    map-side: each doc's ``window``-token spans every ``stride``
+    positions, hashed to a 60-bit portable id (reproducible in DuckDB),
+    deduped with ``array_distinct`` *inside the doc's own row*.  Because
+    all of a document's windows live in one row, per-doc dedup needs no
+    corpus-wide ``distinct()`` shuffle — the r4 form paid a full
+    (doc_id, wh) exchange for exactly this set.  One compact row per doc
+    also makes the downstream localCheckpoint ∝ documents, not windows."""
+    t, n, S = tokens_col, int(window), int(stride)
+    wh_arr = F.expr(
+        f"array_distinct(transform(sequence(1, size({t}) - {n} + 1, {S}),"
+        f" i -> cast(conv(substring(md5("
+        f"concat_ws(',', transform(slice({t}, i, {n}), x -> cast(x AS string)))"
+        f"), 1, 15), 16, 10) AS bigint)))"
+    )
+    return df.filter(F.size(t) >= n).select(
+        F.col(id_col).alias("doc_id"), wh_arr.alias("whs")
+    )
+
+
 def window_fingerprints(
     df: DataFrame,
     window: int = 8,
@@ -391,26 +442,12 @@ def window_fingerprints(
     ``window``-token spans every ``stride`` positions, hashed to a 60-bit
     portable id (fixed-width shuffle rows; reproducible in DuckDB).  The
     shared candidate generator for :func:`dup_token_windows` and
-    :func:`dup_doc_pairs`."""
-    t, n, S = tokens_col, int(window), int(stride)
-    span_hash = portable_hash(
-        F.expr(
-            f"concat_ws(',', transform(slice({t}, i, {n}),"
-            f" x -> cast(x AS string)))"
-        )
-    )
-    return (
-        df.filter(F.size(t) >= n)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.col(t),
-            F.explode(
-                F.expr(f"sequence(1, size({t}) - {n} + 1, {S})")
-            ).alias("i"),
-        )
-        .select("doc_id", span_hash.alias("wh"))
-        .distinct()
-    )
+    :func:`dup_doc_pairs`.  Distinctness comes from the per-doc
+    ``array_distinct`` in :func:`window_fingerprint_arrays` — zero
+    shuffle, one Generate."""
+    return window_fingerprint_arrays(
+        df, window, stride, tokens_col, id_col
+    ).select("doc_id", F.explode("whs").alias("wh"))
 
 
 def dup_doc_pairs(
@@ -438,17 +475,23 @@ def dup_doc_pairs(
     pairs), so the self-join output is ≤ |windows| · max_df and never
     all-pairs.  Document frequency is a ``groupBy("wh")`` — partial
     aggregation collapses a boilerplate window shared by 10^7 docs to
-    one row per map task before the exchange, where the previous
-    ``count().over(partitionBy("wh"))`` form funneled every carrier of
-    the hot window into a single sort task (the same hot-key spreading
-    the reference's NO_ORDER grade exists for, IKeyGenerator.java:32-46).
-    The kept-window id set (2 ≤ df ≤ ``max_df``) is small by
-    construction and joins back under the ``broadcast_keys`` tri-state
-    gate; the fingerprint set is localCheckpoint-ed once and feeds the
-    df count, the join-back, and both self-join sides without
-    re-derivation."""
-    wins = window_fingerprints(df, window, stride, tokens_col, id_col)
-    wins = wins.localCheckpoint()
+    one row per map task before the exchange, where a
+    ``count().over(partitionBy("wh"))`` form would funnel every carrier
+    of the hot window into a single sort task (the same hot-key
+    spreading the reference's NO_ORDER grade exists for,
+    IKeyGenerator.java:32-46).  The kept-window id set
+    (2 ≤ df ≤ ``max_df``) is small by construction and joins back under
+    the ``broadcast_keys`` tri-state gate.  The ONLY materialization is
+    the compact per-doc fingerprint-array frame (one row per document —
+    the expensive md5-per-window pass runs exactly once); the per-window
+    posting list is re-exploded from it for the df count and for each
+    self-join side, which with the broadcast gate is a pure map stage —
+    cheaper at every scale than the r4 form's second (per-window-row)
+    localCheckpoint of the kept set."""
+    arr = window_fingerprint_arrays(
+        df, window, stride, tokens_col, id_col
+    ).localCheckpoint()
+    wins = arr.select("doc_id", F.explode("whs").alias("wh"))
     cond = F.col("_df") >= 2
     if max_df is not None:
         cond = cond & (F.col("_df") <= int(max_df))
@@ -458,11 +501,8 @@ def dup_doc_pairs(
         .filter(cond)
         .select("wh")
     )
-    kept = wins.join(
-        gated_broadcast(keep_whs, broadcast_keys, broadcast_key_limit),
-        "wh",
-        "left_semi",
-    ).localCheckpoint()
+    gate = gated_broadcast(keep_whs, broadcast_keys, broadcast_key_limit)
+    kept = wins.join(gate, "wh", "left_semi")
     a = kept.select(F.col("doc_id").alias("doc_a"), "wh")
     b = kept.select(F.col("doc_id").alias("doc_b"), "wh")
     return (
@@ -498,7 +538,16 @@ def dup_clusters(
     exhausting it without converging RAISES — a partially-propagated
     labeling silently splits long clone chains (diameter > max_iters)
     into separate clusters, which is a wrong answer, not a degraded
-    one."""
+    one.  The raise is deliberately conservative: convergence is only
+    *observed* on the first all-quiet round, so callers must budget
+    ``max_iters ≥ diameter + 1`` — a component of diameter exactly
+    ``max_iters`` raises even though its labeling happens to be
+    complete."""
+    if int(max_iters) < 1:
+        raise ValueError(
+            f"max_iters must be >= 1 (got {max_iters}); min-label "
+            f"propagation needs at least one round to observe convergence"
+        )
     edges = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
     edges = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -558,10 +607,13 @@ def dup_token_windows(
     distinct-window count and how many of those windows also occur
     elsewhere.
 
-    Shape: each doc emits its window fingerprints ONCE (60-bit portable
-    hash of the id-joined span — fixed-width shuffle rows, materialized
-    by one localCheckpoint); document frequency per fingerprint is a
-    ``groupBy("wh").count()`` — partial aggregation collapses a
+    Shape: each doc hashes its windows ONCE, map-side, into a distinct
+    fingerprint ARRAY (:func:`window_fingerprint_arrays` — the per-doc
+    ``array_distinct`` replaces the r4 corpus-wide ``distinct()``
+    shuffle), and that compact one-row-per-doc frame is the single
+    localCheckpoint — materialization ∝ documents, not windows.
+    Document frequency per fingerprint is a ``groupBy("wh").count()``
+    over the re-exploded posting list — partial aggregation collapses a
     boilerplate window carried by 10^7 docs to one row per map task
     before the exchange, where a ``count().over(partitionBy("wh"))``
     window would funnel every carrier of the hot key into a single sort
@@ -571,8 +623,10 @@ def dup_token_windows(
     or auto by count — then one doc-keyed groupBy finishes.  Cost ∝
     tokens / ``stride`` (the scale knob: production substring dedup runs
     stride 4-16 then verifies hits), never all-pairs."""
-    wins = window_fingerprints(df, window, stride, tokens_col, id_col)
-    wins = wins.localCheckpoint()
+    arr = window_fingerprint_arrays(
+        df, window, stride, tokens_col, id_col
+    ).localCheckpoint()
+    wins = arr.select("doc_id", F.explode("whs").alias("wh"))
     # wins is distinct per (doc, wh), so a plain count per wh group IS
     # the number of docs carrying that window
     dup_whs = (
