@@ -160,12 +160,18 @@ class AdminServer:
                             "status": "SUCCESS", "cleared": cleared,
                         })
                     elif path == "/rollback":
-                        v = body["version"]
-                        # '3' means version 3, not a tag named "3" —
-                        # coerce digit strings so JSON clients that
-                        # stringify numbers still hit the version path
-                        if isinstance(v, str) and v.lstrip("-").isdigit():
-                            v = int(v)
+                        if "tag" in body:
+                            # explicit tag key: never coerced, so a tag
+                            # whose NAME is all digits (e.g. "20260818")
+                            # stays addressable over HTTP
+                            v = str(body["tag"])
+                        else:
+                            v = body["version"]
+                            # '3' means version 3, not a tag named "3" —
+                            # coerce digit strings so JSON clients that
+                            # stringify numbers still hit the version path
+                            if isinstance(v, str) and v.lstrip("-").isdigit():
+                                v = int(v)
                         try:
                             new_v = table.rollback(
                                 int(v) if not isinstance(v, str) else v

@@ -297,11 +297,16 @@ def encode_envelope_batch(
             buf.append(0)
         else:
             buf.append(2)
-            pairs = ex.items() if isinstance(ex, dict) else ex
+            if not isinstance(ex, dict):
+                # Arrow map columns arrive as list-of-(k, v) pairs;
+                # dict() dedupes duplicate keys (last wins) exactly like
+                # envelope_record's normalization, keeping the
+                # bit-identical contract even on duplicate-key input
+                ex = dict(ex)
             m = len(ex)
             if m:
                 wl(buf, m)
-                for k, v in pairs:
+                for k, v in ex.items():
                     kr = k.encode("utf-8")
                     wl(buf, len(kr))
                     buf += kr

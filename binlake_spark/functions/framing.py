@@ -35,10 +35,12 @@ PACKET_HEAD_SIZE = 4
 #: binlog event checksum (public binlog_checksum_alg values): the format
 #: header announces the algorithm; when CRC32, every event carries a
 #: 4-byte little-endian CRC32 of the event bytes as its tail, which the
-#: reader validates and strips before decode (the reference reads the
-#: algorithm from FORMAT_DESCRIPTION_EVENT and truncates eventLen by
-#: BINLOG_CHECKSUM_LEN, LogDecoder.java:112-124; a corrupted-but-well-
-#: framed event must fail loudly, not decode silently)
+#: reader validates and strips before decode.  NOTE: the reference only
+#: TRUNCATES eventLen by BINLOG_CHECKSUM_LEN without verifying the
+#: checksum (LogDecoder.java:112-124); this rebuild deliberately goes
+#: further and validates it — a corrupted-but-well-framed event must
+#: fail loudly, not decode silently.  The divergence is intentional; do
+#: not "fix" it back to strip-only.
 CHECKSUM_ALG_OFF = "off"
 CHECKSUM_ALG_CRC32 = "crc32"
 BINLOG_CHECKSUM_LEN = 4

@@ -143,6 +143,16 @@ def test_admin_rollback_endpoint(spark, tmp_path):
         code, body = _post(srv.port, "/rollback", {})
         assert code == 400
 
+        # a tag whose NAME is all digits is swallowed by the
+        # digit-string-as-version coercion on the "version" key — the
+        # explicit {"tag": ...} key keeps it addressable (ADVICE r4)
+        table.tag("20260818")
+        code, body = _post(srv.port, "/rollback", {"version": "20260818"})
+        assert code == 404  # coerced to (unknown) version 20260818
+        code, body = _post(srv.port, "/rollback", {"tag": "20260818"})
+        assert code == 200 and body["status"] == "SUCCESS"
+        assert body["version"] == int(table.snapshot()["version"])
+
 
 def test_admin_fleet_registry(spark, tmp_path):
     """Fleet mode (tower ApiCenter analog): one admin process serves N

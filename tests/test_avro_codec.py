@@ -155,3 +155,30 @@ def test_batch_envelope_encoder_bit_identical_to_generic():
     got = encode_envelope_batch(d, n)
     exp = [encode(ENVELOPE_SCHEMA, envelope_record(d, i, n)) for i in range(n)]
     assert got == exp
+
+
+def test_batch_envelope_encoder_dedupes_duplicate_map_keys():
+    """An Arrow list-of-pairs extra with a DUPLICATE key must encode
+    exactly like the generic path, which dict()-normalizes first (last
+    value wins) — the raw pair list would emit both entries and break
+    the bit-identical contract (ADVICE r4)."""
+    from binlake_spark.functions.avro_codec import (
+        ENVELOPE_SCHEMA,
+        encode,
+        encode_envelope_batch,
+        envelope_record,
+    )
+
+    d = {
+        "seq": [1],
+        "doc_id": ["dup"],
+        "op": ["U"],
+        "n_tok": [3],
+        "payload": [None],
+        "extra": [[("k", "first"), ("k", "second"), ("o", "x")]],
+    }
+    got = encode_envelope_batch(d, 1)
+    exp = [encode(ENVELOPE_SCHEMA, envelope_record(d, 0, 1))]
+    assert got == exp
+    # and the winning value is the LAST pair, matching dict() semantics
+    assert b"second" in got[0] and b"first" not in got[0]
