@@ -234,13 +234,14 @@ def ngram_jaccard_pairs(
     back reshuffles the whole posting list), while the drop set is the
     handful of boilerplate grams, small enough to broadcast under the
     usual tri-state gate — the join-back then costs no shuffle at all."""
+    from binlake_spark.checkpointing import materialize
     from binlake_spark.operators.tokens import gated_broadcast
 
     # materialize the posting list once: it feeds the doc-size aggregate,
     # the stop-gram df aggregate, and BOTH sides of the candidate
     # self-join — without this the shingle explode+distinct re-runs for
     # each of its four consumers
-    sh = _shingles(df, id_col, text_col, n).localCheckpoint()
+    sh = materialize(_shingles(df, id_col, text_col, n))
     cnt = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     if max_df is not None:
         drop = (

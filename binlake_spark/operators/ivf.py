@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from ..checkpointing import materialize
+
 from binlake_spark.operators.similarity import _as_double, _dot, _norm
 
 
@@ -48,10 +50,11 @@ def ivf_train(
         init.withColumn("_rk", F.row_number().over(w))
         .select((F.col("_rk") - 1).cast("int").alias("cid"), F.col("_v").alias("_c"))
     )
-    # each Lloyd round truncates lineage (localCheckpoint): iterative
-    # plans otherwise grow a nested crossJoin+agg per round, and every
-    # consumer would re-run the whole training; K rows, trivial to store
-    cents = cents.localCheckpoint()
+    # each Lloyd round truncates lineage (checkpointing.materialize —
+    # local or reliable per the module knob): iterative plans otherwise
+    # grow a nested crossJoin+agg per round, and every consumer would
+    # re-run the whole training; K rows, trivial to store
+    cents = materialize(cents)
     for _ in range(iters):
         assigned = _assign(e, cents)
         # elementwise mean per cell: posexplode → per-(cell,pos) avg →
@@ -65,8 +68,8 @@ def ivf_train(
                 F.col("cell").alias("cid"),
                 F.transform("s", lambda t: t["m"]).alias("_c"),
             )
-            .localCheckpoint()
         )
+        cents = materialize(cents)
     return cents
 
 

@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from ..checkpointing import materialize, release
+
 
 def portable_hash(col: Column | str) -> Column:
     """md5 → first 15 hex digits → BIGINT; reproducible in DuckDB as
@@ -71,7 +73,7 @@ def gated_broadcast(
     # auto path: materialize once, THEN count — a bare df.count() here
     # would run the whole derivation eagerly and the join would recompute
     # it a second time (the gate would cost two passes; ADVICE r4)
-    df = df.localCheckpoint(eager=True)
+    df = materialize(df)
     return F.broadcast(df) if df.count() <= int(limit) else df
 
 
@@ -394,12 +396,13 @@ def bpe_train(
         merges.append((a, b, new_id, n))
         cur = bpe_apply_merge(
             cur, a, b, new_id, tokens_col=tokens_col
-        ).localCheckpoint(eager=True)
+        )
+        cur = materialize(cur)
         # the new checkpoint is materialized (eager) and does not depend
-        # on the previous one — unpersist it, or k rounds pin k corpus
+        # on the previous one — release it, or k rounds pin k corpus
         # copies in block-manager storage
         if prev is not None:
-            prev.unpersist()
+            release(prev)
         prev = cur
     return merges, cur
 
@@ -488,9 +491,9 @@ def dup_doc_pairs(
     self-join side, which with the broadcast gate is a pure map stage —
     cheaper at every scale than the r4 form's second (per-window-row)
     localCheckpoint of the kept set."""
-    arr = window_fingerprint_arrays(
-        df, window, stride, tokens_col, id_col
-    ).localCheckpoint()
+    arr = materialize(
+        window_fingerprint_arrays(df, window, stride, tokens_col, id_col)
+    )
     wins = arr.select("doc_id", F.explode("whs").alias("wh"))
     cond = F.col("_df") >= 2
     if max_df is not None:
@@ -549,14 +552,15 @@ def dup_clusters(
             f"propagation needs at least one round to observe convergence"
         )
     edges = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
-    edges = edges.unionByName(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=True)
-    labels = (
+    edges = materialize(
+        edges.unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+    )
+    labels = materialize(
         edges.select(F.col("a").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .localCheckpoint(eager=True)
     )
     changed = -1
     for _ in range(int(max_iters)):
@@ -564,11 +568,10 @@ def dup_clusters(
             labels.select(F.col("doc_id").alias("b"), F.col("label").alias("nl")),
             "b",
         ).select(F.col("a").alias("doc_id"), F.col("nl").alias("label"))
-        new = (
+        new = materialize(
             labels.unionByName(nbr)
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
         )
         changed = (
             new.join(
@@ -577,7 +580,7 @@ def dup_clusters(
             .filter(F.col("label") != F.col("old"))
             .count()
         )
-        labels.unpersist()
+        release(labels)
         labels = new
         if changed == 0:
             break
@@ -623,9 +626,9 @@ def dup_token_windows(
     or auto by count — then one doc-keyed groupBy finishes.  Cost ∝
     tokens / ``stride`` (the scale knob: production substring dedup runs
     stride 4-16 then verifies hits), never all-pairs."""
-    arr = window_fingerprint_arrays(
-        df, window, stride, tokens_col, id_col
-    ).localCheckpoint()
+    arr = materialize(
+        window_fingerprint_arrays(df, window, stride, tokens_col, id_col)
+    )
     wins = arr.select("doc_id", F.explode("whs").alias("wh"))
     # wins is distinct per (doc, wh), so a plain count per wh group IS
     # the number of docs carrying that window
