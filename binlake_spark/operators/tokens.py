@@ -367,43 +367,90 @@ def bpe_train(
     n_merges: int,
     tokens_col: str = "tokens",
     first_new_id: int = 65536,
+    batch_size: int = 1,
+    stats: dict | None = None,
 ) -> tuple[list[tuple[int, int, int, int]], DataFrame]:
-    """Distributed BPE vocabulary training: ``n_merges`` rounds, each
-    counting adjacent pairs corpus-wide (the oracle-checked
-    :func:`bpe_pair_counts` plan), promoting the globally most frequent
-    pair (ties: lowest tok_a, then tok_b — deterministic across runs and
-    cluster sizes) to a fresh id, and rewriting the corpus with
-    :func:`bpe_apply_merge`.  Stops early when no pair occurs twice.
+    """Distributed BPE vocabulary training: count adjacent pairs
+    corpus-wide (the oracle-checked :func:`bpe_pair_counts` plan),
+    promote the most frequent pair (ties: lowest tok_a, then tok_b —
+    deterministic across runs and cluster sizes) to a fresh id, rewrite
+    the corpus with :func:`bpe_apply_merge`, repeat.  Stops early when
+    no pair occurs twice.
 
     Returns ``(merges, df_final)`` where merges is
-    ``[(tok_a, tok_b, new_id, n_pairs), ...]`` in training order.
+    ``[(tok_a, tok_b, new_id, n_pairs), ...]`` in training order; when
+    ``stats`` is a dict it receives ``{"rounds": <count-and-rewrite
+    cycles actually run>}``.
+
+    ``batch_size=1`` (default) is EXACT standard BPE: one count job +
+    one collect + one rewrite per merge.  A real 32k-merge vocabulary
+    is then ~64k sequential Spark jobs — wall-clock dominated by
+    scheduler latency, not data.  ``batch_size=k`` amortizes that by
+    applying up to k SYMBOL-DISJOINT top pairs from one count snapshot
+    in a single rewrite pass (the standard parallel-BPE batching), a
+    ~k× cut in rounds.  CAVEAT — batching is NOT guaranteed
+    merge-for-merge identical to sequential BPE, and symbol
+    disjointness alone cannot make it so: merging the top pair (a,b)→z
+    both *creates* pairs ((x,z), (z,y) — up to n₁ occurrences) and
+    *partially decrements* overlapping pairs ((x,a) keeps its
+    occurrences not followed by b), and either can out-rank the next
+    disjoint candidate in the true sequential order.  Corpora with
+    clear frequency gaps between batch members are unaffected (the
+    pytest corpora are pinned identical at batch_size 1 and 4);
+    closely-tied tails can reorder merges.  Exactness-critical
+    training keeps batch_size=1.
 
     Scale shape per round: one partial-aggregated pair count (shuffle
-    bounded by distinct-pair cardinality, not corpus size), a 1-row
-    collect, and a shuffle-free map-stage rewrite.  The rewritten corpus
-    is localCheckpoint-ed each round so round k costs O(corpus), not
-    O(k · corpus) replans — the same flat-iteration pattern as IVF
-    Lloyd training (operators/ivf.py)."""
+    bounded by distinct-pair cardinality, not corpus size), one small
+    collect, and a shuffle-free map-stage rewrite (k nested folds still
+    compile into the single stage).  The rewritten corpus is
+    materialized each round (checkpointing.materialize — local or
+    reliable) so round k costs O(corpus), not O(k · corpus) replans —
+    the same flat-iteration pattern as IVF Lloyd training
+    (operators/ivf.py)."""
+    B = max(1, int(batch_size))
     cur = df
     prev = None  # previous round's checkpoint, released once superseded
     merges: list[tuple[int, int, int, int]] = []
-    for k in range(int(n_merges)):
-        top = bpe_pair_counts(cur, tokens_col=tokens_col, top_k=1).collect()
-        if not top or top[0].n_pairs < 2:
+    rounds = 0
+    while len(merges) < int(n_merges):
+        want = min(B, int(n_merges) - len(merges))
+        # over-fetch: disjointness filtering discards overlapping
+        # candidates, and rows below 2 occurrences are never merged
+        top = [
+            r
+            for r in bpe_pair_counts(
+                cur, tokens_col=tokens_col, top_k=max(16, want * 8)
+            ).collect()
+            if r.n_pairs >= 2
+        ]
+        if not top:
             break
-        a, b, n = int(top[0].tok_a), int(top[0].tok_b), int(top[0].n_pairs)
-        new_id = first_new_id + k
-        merges.append((a, b, new_id, n))
-        cur = bpe_apply_merge(
-            cur, a, b, new_id, tokens_col=tokens_col
-        )
-        cur = materialize(cur)
+        rounds += 1
+        used: set[int] = set()
+        batch: list[tuple[int, int, int]] = []
+        for r in top:
+            if len(batch) >= want:
+                break
+            a, b = int(r.tok_a), int(r.tok_b)
+            if a in used or b in used:
+                continue
+            batch.append((a, b, int(r.n_pairs)))
+            used.update((a, b))
+        new = cur
+        for a, b, n in batch:
+            new_id = first_new_id + len(merges)
+            merges.append((a, b, new_id, n))
+            new = bpe_apply_merge(new, a, b, new_id, tokens_col=tokens_col)
+        cur = materialize(new)
         # the new checkpoint is materialized (eager) and does not depend
         # on the previous one — release it, or k rounds pin k corpus
         # copies in block-manager storage
         if prev is not None:
             release(prev)
         prev = cur
+    if stats is not None:
+        stats["rounds"] = rounds
     return merges, cur
 
 

@@ -468,6 +468,34 @@ def test_bpe_train_matches_reference_trainer(docs):
     assert any(65536 in toks for toks in got_final.values())
 
 
+def test_bpe_train_batched_matches_sequential(docs):
+    """batch_size>1 applies symbol-disjoint top pairs from one count
+    snapshot per rewrite.  On this corpus (clear frequency gaps between
+    batch members) the merges list and final corpus must be IDENTICAL
+    to the exact sequential trainer, in ~1/batch_size the rounds; the
+    docstring documents why ties in the tail can reorder merges in
+    general (created/partially-decremented pairs can out-rank the next
+    disjoint candidate)."""
+    from binlake_spark.operators.tokens import bpe_train, tokenize
+
+    t = tokenize(docs.select("doc_id", "text"))
+    K = 8
+    seq_stats: dict = {}
+    merges_seq, final_seq = bpe_train(t, n_merges=K, stats=seq_stats)
+    bat_stats: dict = {}
+    merges_bat, final_bat = bpe_train(
+        t, n_merges=K, batch_size=4, stats=bat_stats
+    )
+
+    assert merges_bat == merges_seq and len(merges_seq) == K
+    assert {r.doc_id: list(r.tokens) for r in final_bat.collect()} == {
+        r.doc_id: list(r.tokens) for r in final_seq.collect()
+    }
+    # the whole point: far fewer count-and-rewrite cycles
+    assert seq_stats["rounds"] == K
+    assert bat_stats["rounds"] <= (K + 3) // 4 + 1
+
+
 def test_pack_sequences_sharded_invariants(docs):
     """n_shards: token conservation holds globally; window ids are
     contiguous and all-but-last windows exactly full WITHIN each
