@@ -3334,7 +3334,8 @@ def cdc_compaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE CAST(0 AS BIGINT) END AS dup_ngram_pml
     FROM g
     """,
-    driver=False,  # registry capped at 50; oracle-checked by pytest
+    # promoted into the 50-row driver registry in round 5 (rotation —
+    # driver-witnessed coverage walks through the EXTRA set over rounds)
 )
 def text_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition ‰ (Gopher/RefinedWeb quality rule —
@@ -3378,9 +3379,15 @@ _DEMOTED_TO_EXTRA = {
     " test_plan_shapes and the lake tests; no SURVEY op cites this row",
     "text_token_count": "whitespace counting subsumed by text_token_bpe"
     " (the other half of the same SURVEY token-counting op)",
-    "tok_vocab_drift": "IVM family driver-witnessed by tok_vocab_ivm +"
-    " cdc_ivm_rollup; drift is the same maintained state diffed across"
-    " epochs",
+    # round-5 rotation: tok_vocab_drift + text_repetition promoted into
+    # the registry; these two stable twins rotate out so driver-witnessed
+    # coverage walks through the EXTRA set over rounds
+    "cdc_fanout_replay": "rule fan-out shares the engine replay plan"
+    " driver-witnessed by cdc_engine_replay/_mor; per-rule epoch guards"
+    " stay pytest-witnessed (test_streaming) — rotated out r5",
+    "mm_frame_sample": "frame sampling shares the Arrow batch plumbing"
+    " driver-witnessed by mm_features_exact + mm_payload_stats — rotated"
+    " out r5 (still a bench HEADLINE key)",
 }
 for _n in _DEMOTED_TO_EXTRA:
     EXTRA_QUERIES[_n] = QUERIES.pop(_n)
