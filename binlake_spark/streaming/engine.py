@@ -442,9 +442,11 @@ class CdcEngine:
     def run_batch_replay(
         self,
         spark: SparkSession,
-        source_dir: str,
+        source_dir: str | None = None,
         from_seq: int | None = None,
         from_ts=None,
+        source_df: DataFrame | None = None,
+        n_events_hint: int | None = None,
     ) -> MergeResult:
         """Bounded replay as a single batch (FileLogFetcher analog,
         FileLogFetcher.java:1-158) — the correctness harness path.
@@ -455,20 +457,38 @@ class CdcEngine:
         are plain pushed predicates, so the parquet scan prunes row
         groups below the position — no full-log read to skip a prefix.
 
-        Unlike streaming micro-batches this input is unbounded, so the
-        event count is read from the parquet footers (driver-side metadata,
-        no job) and handed to :meth:`apply_batch` as the winner upper bound
-        that gates the broadcast-vs-bloom join-back choice."""
-        df = spark.read.schema(CHANGE_LOG_SCHEMA).parquet(source_dir)
+        ``source_df`` (instead of ``source_dir``) is the
+        transport-agnostic entry: any frame in the change-log envelope
+        schema drives the IDENTICAL loop — in particular a Kafka frame
+        through :func:`~binlake_spark.sources.changelog_sources.
+        decode_kafka_envelope` (the gated live transport shares every
+        operator with this tested path; unification pinned by
+        tests/test_sources.py::test_kafka_path_replays_identical_to_file).
+        Pass ``n_events_hint`` when the transport knows its size;
+        otherwise the bloom/AQE join-back path is used.
+
+        Unlike streaming micro-batches a directory input is unbounded,
+        so the event count is read from the parquet footers (driver-side
+        metadata, no job) and handed to :meth:`apply_batch` as the
+        winner upper bound that gates the broadcast-vs-bloom join-back
+        choice."""
+        if (source_dir is None) == (source_df is None):
+            raise ValueError("pass exactly one of source_dir / source_df")
+        if source_df is not None:
+            df = source_df
+            # unknown size must not pin the broadcast — treat as
+            # over-limit so the bloom/AQE path is used
+            n_events = (
+                int(n_events_hint) if n_events_hint is not None else 1 << 62
+            )
+        else:
+            df = spark.read.schema(CHANGE_LOG_SCHEMA).parquet(source_dir)
+            stats = _source_footer_stats(source_dir)
+            n_events = stats[0] if stats else 1 << 62
         if from_seq is not None:
             df = df.filter(F.col("seq") >= int(from_seq))
         if from_ts is not None:
             df = df.filter(F.col("ts") >= F.lit(from_ts).cast("timestamp"))
-        stats = _source_footer_stats(source_dir)
-        # unreadable footers on an UNBOUNDED input must not pin the
-        # broadcast (hint=None means "stream-bounded" to apply_batch) —
-        # treat unknown size as over-limit so the bloom/AQE path is used
-        n_events = stats[0] if stats else 1 << 62
         return self.apply_batch(
             df,
             epoch_id=self.table.last_epoch(self.stream_id) + 1,

@@ -93,6 +93,81 @@ def test_kafka_envelope_decode_contract(spark, tmp_path):
             assert r[c] == o[c], (r["seq"], c, r[c], o[c])
 
 
+def test_kafka_path_replays_identical_to_file(spark, tmp_path):
+    """END-TO-END unification proof for the gated Kafka transport: a
+    file-backed frame with the connector's EXACT source schema
+    (key/value/topic/partition/offset/timestamp/timestampType) is
+    decoded by decode_kafka_envelope and drives the engine through the
+    same ``run_batch_replay`` entry (``source_df=``) — the final table
+    must be identical to the file-source replay of the same events.
+    This pins that the live path (jar only supplies the raw frame)
+    shares EVERY operator — validate, compact, decode, MERGE, fences —
+    with the oracle-checked path (reference transport analog:
+    Kafka100Producer.java:44-63)."""
+    from pyspark.sql import functions as F
+
+    from binlake_spark.changelog import GenSpec, generate_change_log, write_change_log
+    from binlake_spark.sources import bounded_replay, decode_kafka_envelope
+    from binlake_spark.streaming import CdcEngine
+
+    spec = GenSpec(
+        n_docs=40,
+        n_events=900,
+        events_per_epoch=300,
+        retransmit_frac=0.1,
+        hot_keys=3,
+        hot_frac=0.2,
+        evolution_at=450,
+        seed=11,
+    )
+    pdf = generate_change_log(spec)
+    write_change_log(pdf, str(tmp_path / "log"))
+    log = bounded_replay(spark, str(tmp_path / "log"))
+    cols = log.columns
+
+    # file path (the oracle-checked one)
+    t_file = CdcEngine.create_table(str(tmp_path / "t_file"), num_buckets=8)
+    CdcEngine(t_file).run_batch_replay(spark, str(tmp_path / "log"))
+
+    # kafka path: producer wire records persisted with the connector's
+    # exact schema, read back cold, decoded, replayed via source_df
+    wire = log.select(
+        F.encode(F.col("doc_id"), "UTF-8").alias("key"),
+        F.encode(F.to_json(F.struct(*cols)), "UTF-8").alias("value"),
+        F.lit("binlake.docs").alias("topic"),
+        F.pmod(F.crc32(F.col("doc_id").cast("binary")), F.lit(8))
+        .cast("int")
+        .alias("partition"),
+        F.col("seq").alias("offset"),
+        F.col("ts").alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+    wire.write.mode("overwrite").parquet(str(tmp_path / "wire"))
+    raw = spark.read.parquet(str(tmp_path / "wire"))
+    t_kafka = CdcEngine.create_table(str(tmp_path / "t_kafka"), num_buckets=8)
+    CdcEngine(t_kafka).run_batch_replay(
+        spark, source_df=decode_kafka_envelope(raw)
+    )
+
+    def state(table):
+        return {
+            r["doc_id"]: r
+            for r in (
+                x.asDict(recursive=True)
+                for x in table.read(spark).collect()
+            )
+        }
+
+    a, b = state(t_file), state(t_kafka)
+    assert a.keys() == b.keys() and a
+    for k in a:
+        assert a[k] == b[k], (k, a[k], b[k])
+
+    # misuse guard: both or neither source is an error
+    with pytest.raises(ValueError, match="exactly one"):
+        CdcEngine(t_kafka).run_batch_replay(spark)
+
+
 def test_jdbc_snapshot_options_partition_planning():
     from binlake_spark.sources.changelog_sources import jdbc_snapshot_options
 
