@@ -72,6 +72,35 @@ def pil_available() -> bool:
         return False
 
 
+def _decode_png_stdlib(payload: pd.Series, kinds: pd.Series) -> list[np.ndarray]:
+    """Real pixel-domain decode with NO optional dependency: the
+    stdlib PNG codec (functions/png_codec.py — zlib inflate + scanline
+    unfilter) → luminance histogram, the same FEATURE_DIM vector as the
+    PIL path (identical fixed-point gray weights, so a PIL-ful
+    deployment computes the same features on the same PNGs).  Non-image
+    kinds and payloads that aren't decodable PNGs fall back to the
+    byte-statistics vector rather than poisoning the batch."""
+    from binlake_spark.functions.png_codec import png_luminance
+
+    out = []
+    for buf, kind in zip(payload, kinds):
+        if kind == "image" and buf:
+            try:
+                px = png_luminance(bytes(buf))
+                hist = np.bincount(px >> 4, minlength=16).astype(np.float32)
+                total = max(1.0, float(px.size))
+                out.append(
+                    np.concatenate(
+                        [hist / total, [np.log1p(len(buf))]]
+                    ).astype(np.float32)
+                )
+                continue
+            except Exception:
+                pass  # not a PNG — byte-stats fallback below
+        out.append(_decode_fake(pd.Series([buf]))[0])
+    return out
+
+
 def _decode_pil(payload: pd.Series, kinds: pd.Series) -> list[np.ndarray]:
     """Real image decode (optional dependency): bytes → PIL → grayscale
     pixels → 16-bin luminance histogram + log-length, the pixel-domain
@@ -117,7 +146,11 @@ def extract_features(
       available; what the oracle checks);
     - ``"pil"`` — real image decode via PIL (optional dependency;
       raises ImportError here, driver-side, when PIL is absent);
-    - ``"auto"`` — PIL when importable, else the fake;
+    - ``"png"`` — real PNG decode via the stdlib codec
+      (functions/png_codec.py) — no dependency, CI-testable on real
+      PNG bytes; non-PNG payloads fall back per row to byte-stats;
+    - ``"auto"`` — PIL when importable, else the stdlib PNG decoder
+      (so "auto" always has a REAL pixel-domain branch);
     - ``"raise"`` — NotImplementedError at evaluation time (marks the
       integration point in plumbing-only deployments).
 
@@ -125,7 +158,7 @@ def extract_features(
     every mode — a jar-ful/PIL-ful deployment lights up real decode with
     no plan change."""
     if decode_stub == "auto":
-        decode_stub = "pil" if pil_available() else "fake"
+        decode_stub = "pil" if pil_available() else "png"
     if decode_stub == "pil" and not pil_available():
         raise ImportError(
             "decode_stub='pil' requires Pillow (pip install Pillow); "
@@ -141,6 +174,8 @@ def extract_features(
                 )
             if decode_stub == "pil":
                 feats = _decode_pil(pdf[payload_col], pdf["kind"])
+            elif decode_stub == "png":
+                feats = _decode_png_stdlib(pdf[payload_col], pdf["kind"])
             else:
                 feats = _decode_fake(pdf[payload_col])
             yield pd.DataFrame(
