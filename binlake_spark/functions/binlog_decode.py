@@ -871,10 +871,15 @@ class ColumnSpec:
     kind: str          # int8|uint8|int16|uint16|int24|int32|int64|uint64|
                        # float|double|newdecimal|date|datetime2|timestamp2|
                        # time2|datetime_v0|timestamp_v0|time_v0|varchar|
-                       # char|blob|jsonb|year|enum|set|bit
+                       # char|blob|geometry|jsonb|year|enum|set|bit
     meta: tuple = ()   # newdecimal: (P, S); *2 temporal: (fsp,);
                        # varchar: (max_BYTES,); char: (raw_meta,);
-                       # blob: (len_bytes,)
+                       # blob: (len_bytes,); geometry: (len_bytes,)
+                       # — GEOMETRY is fetched exactly like a blob
+                       # (length-prefixed bytes; the payload is
+                       # SRID+WKB, opaque to the decoder) per
+                       # RowsLogBuffer.java:986-1019; default len_bytes
+                       # 4, MySQL's GEOMETRY pack length
     charset: int = 33  # MySQL COLLATION id for varchar/char text decode
                        # (CharsetConversion.java analog, functions/charset.py);
                        # default 33 = utf8_general_ci; 63 = binary charset
@@ -954,8 +959,8 @@ def _col_width(spec: ColumnSpec, buf: bytes, pos: int) -> tuple[int, int]:
         lb = 2 if max_len > 255 else 1
         ln = int.from_bytes(buf[pos : pos + lb], "little")
         return pos + lb, pos + lb + ln
-    if k in ("blob", "jsonb"):
-        lb = spec.meta[0] if spec.meta else 2
+    if k in ("blob", "jsonb", "geometry"):
+        lb = spec.meta[0] if spec.meta else (4 if k == "geometry" else 2)
         ln = int.from_bytes(buf[pos : pos + lb], "little")
         return pos + lb, pos + lb + ln
     raise ValueError(f"unsupported wire kind {spec.kind!r}")
@@ -1031,7 +1036,7 @@ def decode_row_images(df, image_col: str, specs: list[ColumnSpec]):
             )
         if k == "jsonb":
             return T.StringType()
-        if k == "blob":
+        if k in ("blob", "geometry"):
             return T.BinaryType()
         if k == "year":
             return T.ShortType()
@@ -1086,7 +1091,7 @@ def decode_row_images(df, image_col: str, specs: list[ColumnSpec]):
             vals = raw if codec is None else [c.decode(codec) for c in raw]
         elif k == "jsonb":
             vals = decode_jsonb(raw)
-        elif k == "blob":
+        elif k in ("blob", "geometry"):
             vals = raw
         elif k == "year":
             # 1 byte, offset 1900; wire 0 means year 0000
@@ -1116,7 +1121,8 @@ def decode_row_images(df, image_col: str, specs: list[ColumnSpec]):
             "uint64": pa.decimal128(20, 0),
             "float": pa.float32(), "double": pa.float64(),
             "date": pa.date32(), "jsonb": pa.string(),
-            "blob": pa.binary(), "year": pa.int16(), "enum": pa.int32(),
+            "blob": pa.binary(), "geometry": pa.binary(),
+            "year": pa.int16(), "enum": pa.int32(),
             "set": pa.int64(), "bit": pa.int64(),
         }.get(k) or (
             pa.decimal128(*spec.meta) if k == "newdecimal"
@@ -1209,9 +1215,9 @@ def encode_row_images(rows: list[dict], specs: list[ColumnSpec]) -> list[bytes]:
                     _, max_len = char_meta(spec.meta[0] if spec.meta else 0)
                     lb = 2 if max_len > 255 else 1
                 body += len(raw).to_bytes(lb, "little") + raw
-            elif k in ("blob", "jsonb"):
+            elif k in ("blob", "jsonb", "geometry"):
                 raw = v if isinstance(v, bytes) else encode_jsonb([v])[0]
-                lb = spec.meta[0] if spec.meta else 2
+                lb = spec.meta[0] if spec.meta else (4 if k == "geometry" else 2)
                 body += len(raw).to_bytes(lb, "little") + raw
             elif k == "year":
                 body += bytes([0 if v == 0 else int(v) - 1900])

@@ -1923,7 +1923,7 @@ def _wire_table(sf_dir: str) -> str:
     n = max(1_000, int(100_000 * float(sf)))
     out = f"{_ORACLE_LOG_BASE}/sf{sf}/wire.parquet"
     marker = f"{_ORACLE_LOG_BASE}/sf{sf}/_SPEC_wire"
-    tag = f"v8:{n}"
+    tag = f"v9:{n}"
     try:
         with open(marker) as f:
             if f.read() == tag:
@@ -2015,6 +2015,22 @@ def _wire_table(sf_dir: str) -> str:
     cities = ["Zürich", "München", "São-Paulo", "Montréal", "Malmö"]
     labels = [f"{zh_words[i % 8]}-{i}" for i in range(n)]
     city_vals = [cities[i % 5] for i in range(n)]
+    # GEOMETRY passthrough (RowsLogBuffer.java:986-1019 fetches it as a
+    # length-prefixed blob): SRID(4 LE) + WKB point — opaque bytes to the
+    # decoder, md5-checked by the oracle; NULL every 17th row
+    import hashlib as _hashlib
+    import struct as _struct
+
+    ri_specs.append(ColumnSpec("ri_geom", "geometry"))
+    geoms = [
+        _struct.pack("<IBI", 4326, 1, 1)
+        + _struct.pack("<dd", (i % 360) - 180 + 0.25, (i % 180) - 90 + 0.5)
+        for i in range(n)
+    ]
+    geom_md5 = [
+        None if i % 17 == 0 else _hashlib.md5(g).hexdigest()
+        for i, g in enumerate(geoms)
+    ]
     row_images = encode_row_images(
         [
             {
@@ -2024,6 +2040,7 @@ def _wire_table(sf_dir: str) -> str:
                 "ri_tag": "x" * (230 + i % 70) + f"-{i}",
                 "ri_label": labels[i],
                 "ri_city": None if i % 9 == 0 else city_vals[i],
+                "ri_geom": None if i % 17 == 0 else geoms[i],
             }
             for i in range(n)
         ],
@@ -2089,6 +2106,9 @@ def _wire_table(sf_dir: str) -> str:
             "city_str": pa.array(
                 [None if i % 9 == 0 else c for i, c in enumerate(city_vals)]
             ),
+            # canonical md5 of the geometry bytes (computed from the
+            # SOURCE bytes, not via the decoder) — NULL rows carry NULL
+            "geom_md5": pa.array(geom_md5),
         }
     )
     # atomic single-file publish: a reader either sees the old complete
@@ -2167,7 +2187,8 @@ def cdc_wire_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            repeat('x', 230 + row_id % 70) || '-' || CAST(row_id AS VARCHAR)
              AS ri_tag,
            label_str AS ri_label,
-           city_str AS ri_city
+           city_str AS ri_city,
+           geom_md5 AS ri_geom_md5
     FROM '{_ORACLE_LOG_BASE}/sf{_SF_TOKEN}/wire.parquet'
     """,
 )
@@ -2183,7 +2204,11 @@ def cdc_row_image_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta-unpack + 2-byte length-prefix walk is exact.  ``ri_label``
     (gbk, collation 28) and ``ri_city`` (latin1, collation 8) carry
     charset-specific bytes, so the match also proves the collation →
-    codec map (CharsetConversion.java analog, functions/charset.py)."""
+    codec map (CharsetConversion.java analog, functions/charset.py).
+    ``ri_geom`` is a GEOMETRY column (RowsLogBuffer.java:986-1019:
+    fetched as a 4-byte-length-prefixed blob; SRID+WKB payload stays
+    opaque BinaryType) — md5 of the decoded bytes must equal the md5 the
+    fixture computed from the source bytes, NULL rows included."""
     from binlake_spark.functions.binlog_decode import (
         ColumnSpec,
         decode_row_images,
@@ -2204,6 +2229,7 @@ def cdc_row_image_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ColumnSpec(
                 "ri_city", "char", (encode_char_table_meta(40),), charset=8
             ),
+            ColumnSpec("ri_geom", "geometry"),
         ],
     )
     return out.select(
@@ -2214,6 +2240,7 @@ def cdc_row_image_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ri_tag",
         "ri_label",
         "ri_city",
+        F.md5("ri_geom").alias("ri_geom_md5"),
     )
 
 

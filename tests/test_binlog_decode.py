@@ -201,7 +201,11 @@ def test_row_image_roundtrip_all_types():
         ColumnSpec("long_name", "varchar", (1000,)),
         ColumnSpec("props", "jsonb", (2,)),
         ColumnSpec("raw", "blob", (2,)),
+        # GEOMETRY: 4-byte default length prefix, opaque SRID+WKB bytes
+        # (RowsLogBuffer.java:986-1019 fetches it exactly like a blob)
+        ColumnSpec("geom", "geometry"),
     ]
+    wkb = (4326).to_bytes(4, "little") + b"\x01\x01\x00\x00\x00" + b"\x3f" * 16
     rows = [
         {
             "id": -(2**40), "tiny": -128, "utiny": 255, "small": -32768,
@@ -209,13 +213,13 @@ def test_row_image_roundtrip_all_types():
             "ratio": 2.5, "price": D("-1234567890.1234"),
             "d": "2024-02-29", "at": "2012-06-21 15:45:17.654321",
             "name": "héllo", "long_name": "x" * 300,
-            "props": {"k": 17}, "raw": b"\x00\x01\xff",
+            "props": {"k": 17}, "raw": b"\x00\x01\xff", "geom": wkb,
         },
         {  # every nullable cell NULL
             "id": 7, "tiny": None, "utiny": None, "small": None, "med": None,
             "cnt": None, "big_u": None, "ratio": None, "price": None,
             "d": None, "at": None, "name": None, "long_name": None,
-            "props": None, "raw": None,
+            "props": None, "raw": None, "geom": None,
         },
     ]
     imgs = encode_row_images(rows, specs)
@@ -223,6 +227,8 @@ def test_row_image_roundtrip_all_types():
     # split gives per-column raw bytes; NULL cells are None
     assert cols[0][0] is not None and cols[1][1] is None
     assert len(cols) == len(specs) and all(len(c) == 2 for c in cols)
+    # geometry bytes pass through the walk untouched
+    assert cols[-1][0] == wkb and cols[-1][1] is None
 
 
 def test_decode_row_images_spark(spark):
