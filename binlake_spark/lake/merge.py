@@ -257,7 +257,9 @@ def merge_into(
         writer = (
             merged if bucket_aligned else merged.repartition(max(1, len(dirty)), "_b")
         )
+        tw = time.monotonic()
         writer.write.mode("overwrite").partitionBy("_b").parquet(out_dir)
+        write_ms = int((time.monotonic() - tw) * 1000)
         try:
             metrics = obs.get
         except Exception:
@@ -273,6 +275,7 @@ def merge_into(
         n_net = int(metrics["n_events"] or 0)
 
         # -- 4. per-bucket offsets from parquet footers (metadata only) --- #
+        tf = time.monotonic()
         new_files: dict[int, list[str]] = {}
         partitions: list[dict] = []
         for b in dirty:
@@ -285,6 +288,7 @@ def merge_into(
                 n_rows += nr
                 max_seq = max(max_seq, mx)
             partitions.append({"bucket": b, "n_rows": n_rows, "max_seq": max_seq})
+        footer_ms = int((time.monotonic() - tf) * 1000)
 
         files = {int(b): fl for b, fl in snap["files"].items()}
         for b in dirty:
@@ -309,20 +313,27 @@ def merge_into(
         snap["files"] = {str(b): fl for b, fl in sorted(files.items())}
         snap["watermarks"] = {str(b): w for b, w in sorted(watermarks.items())}
         snap["epochs"][stream_id] = epoch_id
-        snap["lineage"].append(
-            {
-                "kind": "merge",
-                "stream_id": stream_id,
-                "epoch_id": epoch_id,
-                "version": version,
-                "wall_ms": wall_ms,
-                "n_events": n_net,
-                "n_upserts": int(metrics["n_upserts"] or 0),
-                "n_deletes": int(metrics["n_deletes"] or 0),
-                "partitions": partitions,
-                **(extra_lineage or {}),
-            }
-        )
+        lineage_entry = {
+            "kind": "merge",
+            "stream_id": stream_id,
+            "epoch_id": epoch_id,
+            "version": version,
+            "wall_ms": wall_ms,
+            "n_events": n_net,
+            "n_upserts": int(metrics["n_upserts"] or 0),
+            "n_deletes": int(metrics["n_deletes"] or 0),
+            "partitions": partitions,
+            **(extra_lineage or {}),
+        }
+        # finer stage delays (PerformanceUtils analog): the write job is
+        # the parallel part; footer stats + the snapshot commit are the
+        # DRIVER-SERIAL tail that bounds strong scaling at small epochs.
+        # (The commit itself can't time itself into the entry it writes —
+        # profilers take it as wall − materialize − evolve − write − footer.)
+        ph = dict(lineage_entry.get("phase_ms") or {})
+        ph.update(write_ms=write_ms, footer_ms=footer_ms)
+        lineage_entry["phase_ms"] = ph
+        snap["lineage"].append(lineage_entry)
         table._write_snapshot(snap)
         return MergeResult(
             applied=True,
@@ -426,9 +437,12 @@ def merge_into_mor(
         writer = (
             aligned if bucket_aligned else aligned.repartition(max(1, len(dirty)), "_b")
         )
+        tw = time.monotonic()
         writer.write.mode("overwrite").partitionBy("_b").parquet(out_dir)
+        write_ms = int((time.monotonic() - tw) * 1000)
         metrics = obs.get
 
+        tf = time.monotonic()
         partitions: list[dict] = []
         deltas = {int(b): list(fl) for b, fl in snap.get("deltas", {}).items()}
         for b in dirty:
@@ -445,6 +459,7 @@ def merge_into_mor(
                 max_seq = max(max_seq, mx)
             partitions.append({"bucket": b, "n_rows": n_rows, "max_seq": max_seq})
 
+        footer_ms = int((time.monotonic() - tf) * 1000)
         watermarks = {int(b): int(w) for b, w in snap["watermarks"].items()}
         # deltas carry tombstone rows too, so the footer max is already each
         # bucket's true applied max; the per-bucket incoming max covers
@@ -461,21 +476,25 @@ def merge_into_mor(
         snap["deltas"] = {str(b): fl for b, fl in sorted(deltas.items())}
         snap["watermarks"] = {str(b): w for b, w in sorted(watermarks.items())}
         snap["epochs"][stream_id] = epoch_id
-        snap["lineage"].append(
-            {
-                "kind": "merge",
-                "mode": "mor",
-                "stream_id": stream_id,
-                "epoch_id": epoch_id,
-                "version": version,
-                "wall_ms": wall_ms,
-                "n_events": int(metrics["n_events"] or 0),
-                "n_upserts": int(metrics["n_upserts"] or 0),
-                "n_deletes": int(metrics["n_deletes"] or 0),
-                "partitions": partitions,
-                **(extra_lineage or {}),
-            }
-        )
+        lineage_entry = {
+            "kind": "merge",
+            "mode": "mor",
+            "stream_id": stream_id,
+            "epoch_id": epoch_id,
+            "version": version,
+            "wall_ms": wall_ms,
+            "n_events": int(metrics["n_events"] or 0),
+            "n_upserts": int(metrics["n_upserts"] or 0),
+            "n_deletes": int(metrics["n_deletes"] or 0),
+            "partitions": partitions,
+            **(extra_lineage or {}),
+        }
+        # same finer stage delays as the COW path (write job parallel;
+        # footer walk + snapshot commit are the driver-serial tail)
+        ph = dict(lineage_entry.get("phase_ms") or {})
+        ph.update(write_ms=write_ms, footer_ms=footer_ms)
+        lineage_entry["phase_ms"] = ph
+        snap["lineage"].append(lineage_entry)
         table._write_snapshot(snap)
         return MergeResult(
             applied=True,
