@@ -241,11 +241,16 @@ def contamination(
     # the gram text never matters downstream, only membership — carry
     # the portable 60-bit hash so shuffle rows and the broadcast set
     # are fixed-width, the same trick as the ngram-Jaccard op
+    # total expression (CASE, not just the row filter): a merged
+    # filter + codegen subexpression elimination can evaluate this
+    # outside the short-circuit — see window_fingerprint_arrays
     gram_hashes = F.expr(
-        f"array_distinct(transform(sequence(0, size({words}) - {n}),"
+        f"CASE WHEN size({words}) >= {n}"
+        f" THEN array_distinct(transform(sequence(0, size({words}) - {n}),"
         f" i -> cast(conv(substring(md5("
         f"concat_ws(' ', slice({words}, i + 1, {n}))"
         f"), 1, 15), 16, 10) AS bigint)))"
+        f" ELSE CAST(array() AS array<bigint>) END"
     )
     short_guard = F.size(F.split(F.col(text_col), " ")) >= n
 
@@ -470,11 +475,19 @@ def window_fingerprint_arrays(
     (doc_id, wh) exchange for exactly this set.  One compact row per doc
     also makes the downstream localCheckpoint ∝ documents, not windows."""
     t, n, S = tokens_col, int(window), int(stride)
+    # total expression: the size() filter below prunes rows, but Catalyst
+    # can merge it with the size(whs)>0 predicate InferFiltersFromGenerate
+    # derives from the downstream explode, and codegen subexpression
+    # elimination then evaluates the array OUTSIDE the &&-short-circuit —
+    # sequence(1, size-n+1) must therefore be legal for EVERY row, so the
+    # short-doc branch is guarded inside the expression itself
     wh_arr = F.expr(
-        f"array_distinct(transform(sequence(1, size({t}) - {n} + 1, {S}),"
+        f"CASE WHEN size({t}) >= {n}"
+        f" THEN array_distinct(transform(sequence(1, size({t}) - {n} + 1, {S}),"
         f" i -> cast(conv(substring(md5("
         f"concat_ws(',', transform(slice({t}, i, {n}), x -> cast(x AS string)))"
         f"), 1, 15), 16, 10) AS bigint)))"
+        f" ELSE CAST(array() AS array<bigint>) END"
     )
     return df.filter(F.size(t) >= n).select(
         F.col(id_col).alias("doc_id"), wh_arr.alias("whs")
