@@ -1,0 +1,616 @@
+"""Live binlog dump over a MySQL socket — the reference's dump stage
+(BinlogDump.sendDumpCommand, binlake-wave.server/.../dump/BinlogDump.java:23-50;
+connection phase MySQLConnector.java:132-219; command layouts
+DumpPacket.java / GTIDDumpPacket.java:48-92 / RegisterSlavePacket.java)
+as a driver-side fetcher that spools framed event blobs for Spark.
+
+Protocol scope — everything here is the *published* MySQL client/server
+protocol (connection phase, ``mysql_native_password`` auth, COM_QUERY,
+COM_REGISTER_SLAVE, COM_BINLOG_DUMP, COM_BINLOG_DUMP_GTID, and the
+binlog network stream), implemented from the public documentation; no
+reference code is ported.
+
+Spark-first shape.  A binlog dump is ONE ordered byte stream per master
+— inherently serial at the socket, exactly as the reference holds one
+dump connection per MySQL instance (BinlogWorker's single netty
+channel).  So the socket never touches an executor: a small driver-side
+(or edge-side) :class:`BinlogDumpClient` drains the stream and
+:func:`spool_dump` packs events into framed parquet blobs; Spark tails
+the spool directory as a file stream and does all the parallel work —
+``deframe_stream`` → event decode fan out with the scan, one Arrow pass,
+no shuffle (functions/framing.py).  Parallelism therefore scales with
+blobs, not sockets, which is the only shape that survives 1000
+executors: the bottleneck is the master's single binlog, not Spark.
+
+The client validates exactly what the engine's deframe layer validates
+(sequence ids, CRC32 event checksums when negotiated) so a corrupt
+stream dies at the socket, before it is ever spooled.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import os
+import socket
+import struct
+import uuid as _uuid
+from dataclasses import dataclass
+from typing import Iterable, Iterator
+
+from binlake_spark.functions.framing import (
+    BINLOG_CHECKSUM_LEN,
+    CHECKSUM_ALG_CRC32,
+    CHECKSUM_ALG_OFF,
+    MAX_PACKET_PAYLOAD,
+    _strip_checksum,
+    frame_payloads,
+)
+from binlake_spark.operators.gtid import GTIDSet
+
+# -- command bytes (public protocol) ---------------------------------- #
+COM_QUIT = 0x01
+COM_QUERY = 0x03
+COM_BINLOG_DUMP = 0x12
+COM_REGISTER_SLAVE = 0x15
+COM_BINLOG_DUMP_GTID = 0x1E
+
+# -- capability flags the client needs (public protocol) -------------- #
+CLIENT_LONG_PASSWORD = 0x00000001
+CLIENT_LONG_FLAG = 0x00000004
+CLIENT_PROTOCOL_41 = 0x00000200
+CLIENT_TRANSACTIONS = 0x00002000
+CLIENT_SECURE_CONNECTION = 0x00008000
+CLIENT_PLUGIN_AUTH = 0x00080000
+
+#: COM_BINLOG_DUMP_GTID flags.  NOTE the reference hardcodes flags=0
+#: (GTIDDumpPacket.java:33) and relies on the server reading the gtid
+#: data anyway; the published protocol gates the data block on
+#: BINLOG_THROUGH_GTID, so the rebuild sets it — behavioural superset,
+#: same stream.
+BINLOG_DUMP_NON_BLOCK = 0x01
+BINLOG_THROUGH_POSITION = 0x02
+BINLOG_THROUGH_GTID = 0x04
+
+_NATIVE_PLUGIN = b"mysql_native_password"
+
+
+class MySQLError(RuntimeError):
+    """Server ERR packet surfaced with its errno / sqlstate / message."""
+
+    def __init__(self, code: int, sqlstate: str, message: str):
+        super().__init__(f"MySQL error {code} ({sqlstate}): {message}")
+        self.code = code
+        self.sqlstate = sqlstate
+        self.message = message
+
+
+# --------------------------------------------------------------------- #
+# connection-phase codec (pure functions — unit-testable without sockets)
+# --------------------------------------------------------------------- #
+
+
+def scramble_native_password(password: str, seed: bytes) -> bytes:
+    """``mysql_native_password``: SHA1(pwd) XOR SHA1(seed + SHA1(SHA1(pwd)))
+    (the scramble411 the reference calls, MySQLConnector.java:210-219).
+    Empty password → empty auth response, per protocol."""
+    if not password:
+        return b""
+    p1 = hashlib.sha1(password.encode("utf-8")).digest()
+    p2 = hashlib.sha1(p1).digest()
+    mix = hashlib.sha1(seed + p2).digest()
+    return bytes(a ^ b for a, b in zip(p1, mix))
+
+
+@dataclass
+class HandshakeV10:
+    server_version: str
+    thread_id: int
+    seed: bytes  # auth-plugin-data part1+part2 (20 bytes for native auth)
+    capabilities: int
+    charset: int
+    auth_plugin: str
+
+
+def decode_handshake_v10(payload: bytes) -> HandshakeV10:
+    """Initial-handshake packet (protocol::HandshakeV10 — what the
+    reference reads in negotiate(), MySQLConnector.java:132-160)."""
+    if not payload or payload[0] != 0x0A:
+        if payload and payload[0] == 0xFF:
+            raise _decode_err(payload)
+        raise ValueError(
+            f"not a HandshakeV10 packet (protocol byte "
+            f"{payload[0] if payload else None!r}, expected 0x0a)"
+        )
+    pos = 1
+    nul = payload.index(b"\x00", pos)
+    server_version = payload[pos:nul].decode("utf-8", "replace")
+    pos = nul + 1
+    thread_id = int.from_bytes(payload[pos : pos + 4], "little")
+    pos += 4
+    seed1 = payload[pos : pos + 8]
+    pos += 8 + 1  # 8-byte auth-data part 1 + 1 filler byte
+    cap_lo = int.from_bytes(payload[pos : pos + 2], "little")
+    pos += 2
+    charset, caps, auth_len, seed2, plugin = 33, cap_lo, 0, b"", ""
+    if pos < len(payload):
+        charset = payload[pos]
+        pos += 1 + 2  # charset + status flags
+        cap_hi = int.from_bytes(payload[pos : pos + 2], "little")
+        caps = cap_lo | (cap_hi << 16)
+        pos += 2
+        auth_len = payload[pos]
+        pos += 1 + 10  # auth-data length + 10 reserved bytes
+        if caps & CLIENT_SECURE_CONNECTION:
+            # part 2 is max(13, auth_len - 8) bytes INCLUDING a trailing
+            # NUL; the usable scramble tail is 12 bytes
+            n2 = max(13, auth_len - 8)
+            seed2 = payload[pos : pos + n2].rstrip(b"\x00")[:12]
+            pos += n2
+        if caps & CLIENT_PLUGIN_AUTH:
+            end = payload.find(b"\x00", pos)
+            end = len(payload) if end < 0 else end
+            plugin = payload[pos:end].decode("ascii", "replace")
+    return HandshakeV10(
+        server_version=server_version,
+        thread_id=thread_id,
+        seed=seed1 + seed2,
+        capabilities=caps,
+        charset=charset,
+        auth_plugin=plugin or _NATIVE_PLUGIN.decode(),
+    )
+
+
+def build_handshake_response(
+    handshake: HandshakeV10, user: str, password: str, database: str = ""
+) -> bytes:
+    """HandshakeResponse41 payload (the AuthPacket the reference sends,
+    MySQLConnector.java:160-190).  Only ``mysql_native_password`` is
+    spoken — a server demanding another plugin fails loudly here rather
+    than mid-auth."""
+    if handshake.auth_plugin != _NATIVE_PLUGIN.decode():
+        raise ValueError(
+            f"server wants auth plugin {handshake.auth_plugin!r}; only "
+            f"mysql_native_password is implemented"
+        )
+    if database:
+        raise ValueError("database selection is not part of the dump contract")
+    caps = (
+        CLIENT_LONG_PASSWORD
+        | CLIENT_LONG_FLAG
+        | CLIENT_PROTOCOL_41
+        | CLIENT_TRANSACTIONS
+        | CLIENT_SECURE_CONNECTION
+        | CLIENT_PLUGIN_AUTH
+    )
+    auth = scramble_native_password(password, handshake.seed)
+    out = bytearray()
+    out += struct.pack("<I", caps)
+    out += struct.pack("<I", 1 << 24)  # max packet size
+    out.append(33)  # utf8_general_ci, the reference's default charset
+    out += b"\x00" * 23
+    out += user.encode("utf-8") + b"\x00"
+    out.append(len(auth))
+    out += auth
+    out += _NATIVE_PLUGIN + b"\x00"
+    return bytes(out)
+
+
+def _lenenc(payload: bytes, pos: int) -> tuple[int, int]:
+    """Length-encoded integer → (value, next_pos)."""
+    b0 = payload[pos]
+    if b0 < 0xFB:
+        return b0, pos + 1
+    if b0 == 0xFC:
+        return int.from_bytes(payload[pos + 1 : pos + 3], "little"), pos + 3
+    if b0 == 0xFD:
+        return int.from_bytes(payload[pos + 1 : pos + 4], "little"), pos + 4
+    if b0 == 0xFE:
+        return int.from_bytes(payload[pos + 1 : pos + 9], "little"), pos + 9
+    raise ValueError(f"invalid length-encoded integer prefix 0x{b0:02x}")
+
+
+def _decode_err(payload: bytes) -> MySQLError:
+    code = int.from_bytes(payload[1:3], "little")
+    pos = 3
+    sqlstate = ""
+    if pos < len(payload) and payload[pos : pos + 1] == b"#":
+        sqlstate = payload[pos + 1 : pos + 6].decode("ascii", "replace")
+        pos += 6
+    return MySQLError(code, sqlstate, payload[pos:].decode("utf-8", "replace"))
+
+
+def parse_ok_err(payload: bytes) -> dict:
+    """OK packet → {affected_rows, last_insert_id, status, warnings};
+    ERR packet → raises :class:`MySQLError`."""
+    if not payload:
+        raise ValueError("empty response packet")
+    if payload[0] == 0xFF:
+        raise _decode_err(payload)
+    if payload[0] not in (0x00, 0xFE):
+        raise ValueError(f"not an OK packet (header 0x{payload[0]:02x})")
+    affected, pos = _lenenc(payload, 1)
+    last_id, pos = _lenenc(payload, pos)
+    status = int.from_bytes(payload[pos : pos + 2], "little")
+    warnings = int.from_bytes(payload[pos + 2 : pos + 4], "little")
+    return {
+        "affected_rows": affected,
+        "last_insert_id": last_id,
+        "status": status,
+        "warnings": warnings,
+    }
+
+
+# --------------------------------------------------------------------- #
+# command builders (payload bytes; framing is added at send time)
+# --------------------------------------------------------------------- #
+
+
+def build_com_query(sql: str) -> bytes:
+    return bytes([COM_QUERY]) + sql.encode("utf-8")
+
+
+def encode_gtid_set(gtid: GTIDSet) -> bytes:
+    """Executed-GTID-set wire encoding (the data block of
+    COM_BINLOG_DUMP_GTID; layout per GTIDDumpPacket.java:68-92):
+    n_sids(8 LE), then per sid: uuid bytes(16), n_intervals(8 LE), and
+    per interval start(8 LE), end+1(8 LE) — closed intervals go out
+    half-open, exactly the reference's ``writeLong(end + 1L)``."""
+    out = bytearray(struct.pack("<Q", len(gtid.intervals)))
+    for sid in sorted(gtid.intervals):
+        out += _uuid.UUID(sid).bytes
+        ivs = gtid.intervals[sid]
+        out += struct.pack("<Q", len(ivs))
+        for lo, hi in ivs:
+            out += struct.pack("<QQ", lo, hi + 1)
+    return bytes(out)
+
+
+def decode_gtid_set(data: bytes) -> GTIDSet:
+    """Inverse of :func:`encode_gtid_set` (the server side / test side)."""
+    (n_sids,) = struct.unpack_from("<Q", data, 0)
+    pos = 8
+    intervals: dict[str, list[tuple[int, int]]] = {}
+    for _ in range(n_sids):
+        sid = str(_uuid.UUID(bytes=data[pos : pos + 16]))
+        (n_iv,) = struct.unpack_from("<Q", data, pos + 16)
+        pos += 24
+        ivs = []
+        for _ in range(n_iv):
+            lo, end = struct.unpack_from("<QQ", data, pos)
+            ivs.append((lo, end - 1))
+            pos += 16
+        intervals[sid] = ivs
+    if pos != len(data):
+        raise ValueError(f"{len(data) - pos} trailing bytes after gtid set")
+    return GTIDSet(intervals)
+
+
+def build_com_binlog_dump(
+    server_id: int, filename: str = "", pos: int = 4, flags: int = 0
+) -> bytes:
+    """COM_BINLOG_DUMP payload (DumpPacket.java): pos(4) flags(2)
+    server-id(4) filename(EOF-string)."""
+    return (
+        bytes([COM_BINLOG_DUMP])
+        + struct.pack("<IHI", pos, flags, server_id)
+        + filename.encode("utf-8")
+    )
+
+
+def build_com_binlog_dump_gtid(
+    server_id: int,
+    gtid_set: GTIDSet,
+    filename: str = "",
+    pos: int = 4,
+    flags: int = BINLOG_THROUGH_GTID,
+) -> bytes:
+    """COM_BINLOG_DUMP_GTID payload (layout per the protocol comment and
+    writer in GTIDDumpPacket.java:14-92): flags(2) server-id(4)
+    filename-len(4) filename pos(8) data-size(4) data.  The reference
+    pins filename to 16 NULs and pos to 4; the rebuild defaults to the
+    equivalent empty-name/pos-4 but keeps both caller-settable."""
+    name = filename.encode("utf-8")
+    data = encode_gtid_set(gtid_set)
+    return (
+        bytes([COM_BINLOG_DUMP_GTID])
+        + struct.pack("<HI", flags, server_id)
+        + struct.pack("<I", len(name))
+        + name
+        + struct.pack("<Q", pos)
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def build_com_register_slave(
+    server_id: int, host: str = "", user: str = "", password: str = "", port: int = 0
+) -> bytes:
+    """COM_REGISTER_SLAVE payload (RegisterSlavePacket.java): server-id(4),
+    1-prefixed host/user/password strings, port(2), replication rank(4),
+    master-id(4)."""
+
+    def s1(v: str) -> bytes:
+        b = v.encode("utf-8")
+        if len(b) > 255:
+            raise ValueError(f"register-slave string too long ({len(b)})")
+        return bytes([len(b)]) + b
+
+    return (
+        bytes([COM_REGISTER_SLAVE])
+        + struct.pack("<I", server_id)
+        + s1(host)
+        + s1(user)
+        + s1(password)
+        + struct.pack("<H", port)
+        + struct.pack("<I", 0)
+        + struct.pack("<I", 0)
+    )
+
+
+# --------------------------------------------------------------------- #
+# socket packet I/O (streaming twin of framing.split_packets)
+# --------------------------------------------------------------------- #
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes:
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError(
+                f"connection closed mid-packet ({len(buf)} of {n} bytes)"
+            )
+        buf += chunk
+    return bytes(buf)
+
+
+def read_packet(sock: socket.socket, expect_seq: int | None = None) -> tuple[bytes, int]:
+    """Read one LOGICAL payload (reassembling 0xFFFFFF continuation
+    chains) → (payload, next_expected_seq).  Sequence-id gaps raise, as
+    in the buffer walk (BinlogWorker.java:747-788) and split_packets."""
+    parts: list[bytes] = []
+    while True:
+        head = _recv_exact(sock, 4)
+        length = int.from_bytes(head[:3], "little")
+        seq = head[3]
+        if expect_seq is not None and seq != expect_seq:
+            raise ValueError(f"packet sequence gap: got {seq}, expected {expect_seq}")
+        expect_seq = (seq + 1) & 0xFF
+        parts.append(_recv_exact(sock, length) if length else b"")
+        if length < MAX_PACKET_PAYLOAD:
+            return b"".join(parts), expect_seq
+
+
+def write_packet(sock: socket.socket, payload: bytes, seq: int = 0) -> int:
+    """Send one logical payload, splitting at 0xFFFFFF per the protocol.
+    Returns the next sequence id."""
+    framed = frame_payloads([payload], start_seq=seq)
+    sock.sendall(framed)
+    n_pkts = len(payload) // MAX_PACKET_PAYLOAD + 1
+    return (seq + n_pkts) & 0xFF
+
+
+# --------------------------------------------------------------------- #
+# the dump client
+# --------------------------------------------------------------------- #
+
+
+class BinlogDumpClient:
+    """One dump connection to one master — connect, authenticate, set
+    the checksum session var, register, send the dump command, iterate
+    raw event bytes.  The reference equivalent is MySQLConnector +
+    BinlogDump.sendDumpCommand + the BinlogWorker read loop; here the
+    read loop just yields bytes and every Spark-side concern (decode,
+    dispatch, merge) lives downstream of the spool."""
+
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        user: str,
+        password: str,
+        server_id: int,
+        checksum_alg: str = CHECKSUM_ALG_CRC32,
+        connect_timeout: float = 10.0,
+    ):
+        if checksum_alg not in (CHECKSUM_ALG_OFF, CHECKSUM_ALG_CRC32):
+            raise ValueError(f"unknown checksum_alg {checksum_alg!r}")
+        self.host, self.port = host, int(port)
+        self.user, self.password = user, password
+        self.server_id = int(server_id)
+        self.checksum_alg = checksum_alg
+        self.connect_timeout = connect_timeout
+        self._sock: socket.socket | None = None
+        self.handshake: HandshakeV10 | None = None
+
+    # -- lifecycle ----------------------------------------------------- #
+    def connect(self) -> "BinlogDumpClient":
+        sock = socket.create_connection(
+            (self.host, self.port), timeout=self.connect_timeout
+        )
+        sock.settimeout(None)
+        try:
+            payload, seq = read_packet(sock, expect_seq=0)
+            hs = decode_handshake_v10(payload)
+            seq = write_packet(
+                sock, build_handshake_response(hs, self.user, self.password), seq
+            )
+            ok, _ = read_packet(sock, expect_seq=seq)
+            parse_ok_err(ok)
+        except BaseException:
+            sock.close()
+            raise
+        self._sock, self.handshake = sock, hs
+        # replicas announce the checksum they can read BEFORE dumping —
+        # without this a CRC32 master refuses the dump (public replica
+        # handshake); the session var mirrors what we later validate
+        self.query_ok(
+            "SET @master_binlog_checksum = "
+            + ("'CRC32'" if self.checksum_alg == CHECKSUM_ALG_CRC32 else "'NONE'")
+        )
+        return self
+
+    def close(self) -> None:
+        if self._sock is not None:
+            try:
+                self._sock.sendall(frame_payloads([bytes([COM_QUIT])]))
+            except OSError:
+                pass
+            self._sock.close()
+            self._sock = None
+
+    def __enter__(self) -> "BinlogDumpClient":
+        return self.connect()
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    # -- commands ------------------------------------------------------ #
+    def _command(self, payload: bytes) -> bytes:
+        """Send one command packet (seq 0 per protocol) and read one
+        response payload."""
+        if self._sock is None:
+            raise RuntimeError("not connected")
+        seq = write_packet(self._sock, payload, seq=0)
+        resp, _ = read_packet(self._sock, expect_seq=seq)
+        return resp
+
+    def query_ok(self, sql: str) -> dict:
+        """COM_QUERY for statements that answer OK/ERR (SET session
+        vars — the only queries the dump path needs)."""
+        return parse_ok_err(self._command(build_com_query(sql)))
+
+    def register_slave(self, host: str = "", port: int = 0) -> dict:
+        return parse_ok_err(
+            self._command(
+                build_com_register_slave(self.server_id, host=host, port=port)
+            )
+        )
+
+    def dump(
+        self,
+        gtid_set: GTIDSet | None = None,
+        filename: str = "",
+        pos: int = 4,
+    ) -> Iterator[bytes]:
+        """Send the dump command and yield raw binlog event bytes.
+
+        GTID mode when ``gtid_set`` is given (COM_BINLOG_DUMP_GTID),
+        file/pos mode otherwise (COM_BINLOG_DUMP) — the same switch as
+        BinlogDump.sendDumpCommand (BinlogDump.java:26-41).  Each network
+        packet is ``0x00 + event bytes``; 0xFE (short payload) ends a
+        non-blocking dump; 0xFF raises.  CRC32 tails are validated and
+        STRIPPED here when negotiated, so spooled bytes are checksum-free
+        and the downstream decode is algorithm-agnostic.
+        """
+        if self._sock is None:
+            raise RuntimeError("not connected")
+        cmd = (
+            build_com_binlog_dump_gtid(self.server_id, gtid_set, filename, pos)
+            if gtid_set is not None
+            else build_com_binlog_dump(self.server_id, filename, pos)
+        )
+        expect = write_packet(self._sock, cmd, seq=0)
+        n = 0
+        while True:
+            payload, expect = read_packet(self._sock, expect_seq=expect)
+            if not payload:
+                raise ValueError("empty dump-stream packet")
+            if payload[0] == 0xFF:
+                raise _decode_err(payload)
+            if payload[0] == 0xFE and len(payload) < 9:
+                return  # EOF: bounded (non-blocking) dump drained
+            if payload[0] != 0x00:
+                raise ValueError(
+                    f"unexpected dump-stream header 0x{payload[0]:02x}"
+                )
+            event = payload[1:]
+            if self.checksum_alg == CHECKSUM_ALG_CRC32:
+                event = _strip_checksum(event, f"(dump event {n})")
+            n += 1
+            yield event
+
+
+# --------------------------------------------------------------------- #
+# spool bridge: socket → parquet blobs → Spark file stream
+# --------------------------------------------------------------------- #
+
+#: spool schema: one row per blob of framed events
+SPOOL_COLUMNS = ("blob_id", "n_events", "first_event", "frames")
+
+
+def spool_dump(
+    events: Iterable[bytes],
+    spool_dir: str,
+    events_per_blob: int = 2048,
+    max_events: int | None = None,
+) -> int:
+    """Drain an event iterator into framed parquet blobs Spark can tail.
+
+    Each output file carries ONE row: (blob_id, n_events, first_event,
+    frames) where ``frames`` is the events re-framed by
+    :func:`frame_payloads` — the exact input ``deframe_stream`` explodes,
+    so the socket path and the oracle-checked file path share every
+    byte of downstream code.  Files are written tmp-then-rename so a
+    concurrent ``readStream`` never sees a partial blob.  Returns the
+    number of events spooled.  Blob size is the parallelism knob: at
+    1000 executors you want thousands of small blobs per checkpoint
+    interval, not one giant one.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(spool_dir, exist_ok=True)
+    blob_id, total, batch = 0, 0, []
+
+    def flush():
+        nonlocal blob_id
+        if not batch:
+            return
+        tbl = pa.table(
+            {
+                "blob_id": pa.array([blob_id], type=pa.int64()),
+                "n_events": pa.array([len(batch)], type=pa.int32()),
+                "first_event": pa.array([total - len(batch)], type=pa.int64()),
+                "frames": pa.array([frame_payloads(batch)], type=pa.binary()),
+            }
+        )
+        final = os.path.join(spool_dir, f"blob-{blob_id:08d}.parquet")
+        tmp = final + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.rename(tmp, final)
+        blob_id += 1
+        batch.clear()
+
+    for ev in events:
+        batch.append(ev)
+        total += 1
+        if len(batch) >= events_per_blob:
+            flush()
+        if max_events is not None and total >= max_events:
+            break
+    flush()
+    return total
+
+
+def spooled_frames(spark, spool_dir: str, streaming: bool = False):
+    """Read a spool directory as (blob metadata, payload rows): batch or
+    streaming scan → ``deframe_stream`` — one fused Arrow pass, no
+    shuffle; event order is (blob_id, pkt_idx), the per-connection order
+    the reference preserves."""
+    from pyspark.sql import types as T
+
+    from binlake_spark.functions.framing import deframe_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("blob_id", T.LongType()),
+            T.StructField("n_events", T.IntegerType()),
+            T.StructField("first_event", T.LongType()),
+            T.StructField("frames", T.BinaryType()),
+        ]
+    )
+    reader = spark.readStream if streaming else spark.read
+    df = reader.schema(schema).parquet(spool_dir)
+    return deframe_stream(df, "frames", payload_col="event")
