@@ -157,3 +157,70 @@ class AlarmManager:
                 )
             )
         return out
+
+
+class WebhookAlarmSink:
+    """The reference's alarm transport, rebuilt: one JSON POST per alarm
+    to an HTTP gateway with a ``token`` header (Alarmer.alarm,
+    binlake-wave.alarm/.../Alarmer.java:25-38).  Mail and phone are the
+    SAME gateway differing only in recipients (MailAlarm.java:16-20 /
+    PhoneAlarm.java:18-22 share the default url+token), so one sink
+    routes by severity: ``warn`` → ``mail_to`` (the AlarmUtils.mail
+    path), ``critical`` → ``phone_to`` (AlarmUtils.phone).
+
+    Delivery failures are counted and reported to ``on_error`` but NEVER
+    raised — the reference swallows transport errors after logging
+    (Alarmer.java:33-36) because a broken alarm gateway must not take
+    down the dump worker.  Pure stdlib (urllib), no dependency.
+    """
+
+    def __init__(
+        self,
+        url: str,
+        token: str = "",
+        mail_to: tuple[str, ...] | list[str] = (),
+        phone_to: tuple[str, ...] | list[str] = (),
+        timeout: float = 5.0,
+        on_error=None,
+    ):
+        self.url = url
+        self.token = token
+        self.mail_to = list(mail_to)
+        self.phone_to = list(phone_to)
+        self.timeout = float(timeout)
+        self.on_error = on_error
+        self.delivered = 0
+        self.failed = 0
+        self.last_error: str | None = None
+
+    def __call__(self, ev: AlarmEvent) -> bool:
+        import urllib.request
+
+        channel = "phone" if ev.severity == "critical" else "mail"
+        body = {
+            "severity": ev.severity,
+            "rule": ev.rule,
+            "stream_id": ev.stream_id,
+            "message": ev.message,
+            "data": ev.data,
+            "channel": channel,
+            "recipients": self.phone_to if channel == "phone" else self.mail_to,
+        }
+        req = urllib.request.Request(
+            self.url,
+            data=json.dumps(body, sort_keys=True).encode("utf-8"),
+            headers={"content-type": "application/json", "token": self.token},
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                if not 200 <= resp.status < 300:
+                    raise OSError(f"gateway answered HTTP {resp.status}")
+            self.delivered += 1
+            return True
+        except Exception as e:  # transport failure must not kill the worker
+            self.failed += 1
+            self.last_error = f"{type(e).__name__}: {e}"
+            if self.on_error is not None:
+                self.on_error(e)
+            return False

@@ -79,3 +79,73 @@ def test_engine_emits_epoch_alarms(spark, tmp_path):
     # idempotent replay: no new alarm
     engine.apply_batch(log, epoch_id=0)
     assert len(am.events) == 1
+
+
+def test_webhook_sink_posts_json_with_token_and_routes_recipients():
+    """The gateway transport (Alarmer.java:25-38): JSON body, token
+    header, mail recipients on warn / phone recipients on critical."""
+    import http.server
+    import threading
+
+    from binlake_spark.streaming.alarms import WebhookAlarmSink
+
+    got = []
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            got.append(
+                {
+                    "path": self.path,
+                    "token": self.headers.get("token"),
+                    "ctype": self.headers.get("content-type"),
+                    "body": json.loads(self.rfile.read(n)),
+                }
+            )
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        sink = WebhookAlarmSink(
+            f"http://127.0.0.1:{srv.server_address[1]}/sendText/",
+            token="tok-123",
+            mail_to=["dba@example.com"],
+            phone_to=["13800000000"],
+        )
+        am = AlarmManager(retry_latch=3, sink=sink)
+        am.observe_resume_retry(1, "s1", error="boom")   # warn → mail
+        am.observe_resume_retry(3, "s1", error="boom")   # critical → phone
+        assert sink.delivered == 2 and sink.failed == 0
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+    assert [g["token"] for g in got] == ["tok-123", "tok-123"]
+    assert all(g["ctype"] == "application/json" for g in got)
+    warn, crit = got[0]["body"], got[1]["body"]
+    assert warn["channel"] == "mail"
+    assert warn["recipients"] == ["dba@example.com"]
+    assert warn["rule"] == "resume-retry-escalating"
+    assert crit["channel"] == "phone"
+    assert crit["recipients"] == ["13800000000"]
+    assert crit["data"]["latch"] == 3
+
+
+def test_webhook_sink_failure_never_raises():
+    from binlake_spark.streaming.alarms import WebhookAlarmSink
+
+    errs = []
+    # closed port: connection refused must be swallowed, counted, reported
+    sink = WebhookAlarmSink(
+        "http://127.0.0.1:9/never", timeout=0.5, on_error=errs.append
+    )
+    am = AlarmManager(retry_latch=1, sink=sink)
+    ev = am.observe_resume_retry(1, "s1")
+    assert ev is not None  # the alarm itself still recorded in-memory
+    assert sink.failed == 1 and sink.delivered == 0
+    assert sink.last_error and len(errs) == 1
