@@ -233,3 +233,78 @@ def test_extract_added_columns_ignores_index_clauses():
     assert extract_added_columns("ALTER TABLE docs ADD COLUMN `index` int") == [
         ("index", "int")
     ]
+
+
+# ---------------------------------------------------------------------- #
+# Aviator expression filters (AviaterELFilter / RegexFilter / SimpleFilter)
+# ---------------------------------------------------------------------- #
+def test_el_expression_filter(spark):
+    import pytest
+
+    from binlake_spark.operators.filters import filter_expression
+
+    df = spark.createDataFrame(
+        [
+            ("I", "web", 20, ("db1", "orders")),
+            ("U", "web", 5, ("db1", "orders")),
+            ("I", "books", 8, ("db2", "users")),
+            ("D", "web", 50, ("db2", "users")),
+        ],
+        "op string, source string, n_tok int, hdr struct<db:string,tbl:string>",
+    )
+    got = filter_expression(
+        df, "op = 'I' AND (n_tok > 10 OR source = 'books')"
+    ).collect()
+    assert sorted((r.op, r.n_tok) for r in got) == [("I", 8), ("I", 20)]
+    # struct navigation (entry.header.x style, AviaterELFilter ROOT_KEY)
+    assert filter_expression(df, "hdr.db = 'db2' AND NOT op = 'D'").count() == 1
+    # empty expression passes everything (AviaterELFilter.java:27-29)
+    assert filter_expression(df, None).count() == 4
+    assert filter_expression(df, "  ").count() == 4
+    # whitelisted function
+    assert filter_expression(df, "lower(source) IN ('web')").count() == 3
+
+    # expressions are config, not code: reject before Catalyst sees them
+    with pytest.raises(ValueError, match="not a column"):
+        filter_expression(df, "exists(select 1)")
+    with pytest.raises(ValueError, match="not a column"):
+        filter_expression(df, "reflect('java.lang.Runtime', 'exec') = ''")
+    with pytest.raises(ValueError, match="illegal token"):
+        filter_expression(df, "op = 'I'; 1=1")
+    with pytest.raises(ValueError, match="not a column"):
+        filter_expression(df, "nope = 1")
+    with pytest.raises(ValueError, match="must be boolean"):
+        filter_expression(df, "n_tok + 1")
+
+
+def test_regex_list_filter_longest_first_anchoring(spark):
+    from binlake_spark.operators.filters import (
+        filter_regex_list,
+        regex_list_pattern,
+    )
+
+    # the documented foo|foot pitfall (AviaterRegexFilter.java:44-55):
+    # longest-first + ^$ anchors make both exact names match
+    assert regex_list_pattern("foo,foot") == "^foot$|^foo$"
+    df = spark.createDataFrame(
+        [("foo",), ("foot",), ("fool",), ("",), (None,)], "tbl string"
+    )
+    kept = [r.tbl for r in filter_regex_list(df, "foo,foot", "tbl").collect()]
+    assert sorted(k for k in kept if k) == ["foo", "foot"]
+    assert "" in kept and None in kept  # empty target → default true (:57-64)
+    assert filter_regex_list(df, "", "tbl").count() == 5  # empty pattern
+    assert filter_regex_list(df, "", "tbl", default_empty=False).count() == 0
+    # case-insensitive via lowercased target (filter :66-68)
+    up = spark.createDataFrame([("FOO",)], "tbl string")
+    assert filter_regex_list(up, "foo", "tbl").count() == 1
+
+
+def test_simple_list_filter(spark):
+    from binlake_spark.operators.filters import filter_simple_list
+
+    df = spark.createDataFrame(
+        [("Orders",), ("users",), ("",), (None,)], "tbl string"
+    )
+    kept = [r.tbl for r in filter_simple_list(df, "ORDERS,audit", "tbl").collect()]
+    assert kept == ["Orders", "", None]  # lowercase membership; empty passes
+    assert filter_simple_list(df, "", "tbl").count() == 4
