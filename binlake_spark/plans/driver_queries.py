@@ -3377,6 +3377,78 @@ def text_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "cdc_socket_dump",
+    f"""
+    SELECT r.range AS event_idx,
+           md5(repeat('evt-' || CAST(r.range AS VARCHAR) || ' ',
+                      CAST(1 + r.range % 7 AS INTEGER))) AS payload_md5
+    FROM range(CAST(greatest(240, 24000 * {_SF_TOKEN}) AS BIGINT)) r
+    """,
+    driver=False,
+)
+def cdc_socket_dump_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LIVE socket dump path, oracle-witnessed end to end: a
+    loopback master (published protocol: HandshakeV10, native-password
+    auth verified from the stored double hash, COM_BINLOG_DUMP_GTID)
+    streams CRC32-tailed events to :class:`BinlogDumpClient`
+    (BinlogDump.sendDumpCommand analog, BinlogDump.java:23-50), the
+    client validates-and-strips at the socket, ``spool_dump`` packs the
+    events into framed parquet blobs, and Spark deframes them in one
+    Arrow pass — the oracle recomputes every event's content by
+    expression, so a hash match proves the handshake, dump command,
+    stream walk, checksum strip, spool framing, and deframe are all
+    byte-exact.  EXTRA (not in the 50-row driver registry): the blob
+    walk itself is driver-witnessed by `cdc_packet_framing`; this adds
+    the socket client + spool halves on top."""
+    from binlake_spark.operators.gtid import GTIDSet
+    from binlake_spark.sources.socket_dump import (
+        BinlogDumpClient,
+        LoopbackMaster,
+        spool_dump,
+        spooled_frames,
+    )
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    n = max(240, int(24000 * float(sf)))
+    spool = f"{_ORACLE_LOG_BASE}/sf{sf}/socket_spool"
+    marker = f"{_ORACLE_LOG_BASE}/sf{sf}/_SPEC_socket_spool"
+    tag = f"v1:{n}"
+    done = False
+    try:
+        with open(marker) as f:
+            done = f.read() == tag
+    except OSError:
+        pass
+    if not done:
+        import shutil
+
+        shutil.rmtree(spool, ignore_errors=True)
+        events = [(f"evt-{i} " * (1 + i % 7)).encode() for i in range(n)]
+        with LoopbackMaster("replica", "s3cret", events) as master:
+            with BinlogDumpClient(
+                "127.0.0.1", master.port, "replica", "s3cret", server_id=77
+            ) as client:
+                client.register_slave()
+                got = spool_dump(
+                    client.dump(
+                        gtid_set=GTIDSet.parse(
+                            "e6954592-8dba-11e6-af0e-fa163e1cf111:1-5"
+                        )
+                    ),
+                    spool,
+                    events_per_blob=64,
+                )
+        assert got == n, (got, n)
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        with open(marker, "w") as f:
+            f.write(tag)
+    return spooled_frames(spark, spool).select(
+        (F.col("first_event") + F.col("pkt_idx")).cast("long").alias("event_idx"),
+        F.md5(F.col("event")).alias("payload_md5"),
+    )
+
+
 # --------------------------------------------------------------------- #
 # Driver-row consolidation (round 4): the harness records a CORRECTNESS
 # row for at most 50 queries (round 3 recorded exactly the first 50 in

@@ -30,7 +30,6 @@ stream dies at the socket, before it is ever spooled.
 from __future__ import annotations
 
 import hashlib
-import io
 import os
 import socket
 import struct
@@ -39,7 +38,6 @@ from dataclasses import dataclass
 from typing import Iterable, Iterator
 
 from binlake_spark.functions.framing import (
-    BINLOG_CHECKSUM_LEN,
     CHECKSUM_ALG_CRC32,
     CHECKSUM_ALG_OFF,
     MAX_PACKET_PAYLOAD,
@@ -614,3 +612,134 @@ def spooled_frames(spark, spool_dir: str, streaming: bool = False):
     reader = spark.readStream if streaming else spark.read
     df = reader.schema(schema).parquet(spool_dir)
     return deframe_stream(df, "frames", payload_col="event")
+
+
+# --------------------------------------------------------------------- #
+# loopback master (in-process test double)
+# --------------------------------------------------------------------- #
+
+
+def verify_native_password(auth: bytes, seed: bytes, stored_hash2: bytes) -> bool:
+    """The SERVER side of ``mysql_native_password`` (public algorithm):
+    from the 20-byte response and the seed, recover the candidate
+    SHA1(password) and check its SHA1 against the stored double hash —
+    the server never needs the cleartext."""
+    if len(auth) != 20:
+        return False
+    mix = hashlib.sha1(seed + stored_hash2).digest()
+    candidate_hash1 = bytes(a ^ b for a, b in zip(auth, mix))
+    return hashlib.sha1(candidate_hash1).digest() == stored_hash2
+
+
+class LoopbackMaster:
+    """A minimal in-process master speaking the published protocol —
+    HandshakeV10, native-password auth (verified from the stored double
+    hash via :func:`verify_native_password`), OK replies for
+    COM_QUERY/COM_REGISTER_SLAVE, and an event stream (+EOF) for either
+    dump command.  The sandbox twin of the reference's integration
+    target (BinlogDumpTest.java runs against a live MySQL): it lets the
+    complete socket path — TCP handshake → auth → dump → CRC-checked
+    stream → spool → Spark — run and be oracle-checked without a server
+    binary.  Events are caller-supplied opaque bytes; ``checksum=True``
+    appends the CRC32 tails a checksum-enabled master writes.
+    """
+
+    SEED = bytes(range(19, 59, 2))  # fixed 20-byte auth seed
+
+    def __init__(self, user: str, password: str, events: list[bytes],
+                 checksum: bool = True):
+        import socketserver
+
+        self.user = user
+        self.stored_hash2 = hashlib.sha1(
+            hashlib.sha1(password.encode("utf-8")).digest()
+        ).digest()
+        self.events = list(events)
+        self.checksum = checksum
+        outer = self
+
+        class _H(socketserver.BaseRequestHandler):
+            def handle(self):
+                outer._serve(self.request)
+
+        class _Srv(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._srv = _Srv(("127.0.0.1", 0), _H)
+        self.port = self._srv.server_address[1]
+
+    def __enter__(self) -> "LoopbackMaster":
+        import threading
+
+        threading.Thread(target=self._srv.serve_forever, daemon=True).start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._srv.shutdown()
+        self._srv.server_close()
+
+    # -- one connection -------------------------------------------------- #
+    def _handshake_payload(self) -> bytes:
+        caps = (
+            CLIENT_LONG_PASSWORD | CLIENT_LONG_FLAG | CLIENT_PROTOCOL_41
+            | CLIENT_TRANSACTIONS | CLIENT_SECURE_CONNECTION | CLIENT_PLUGIN_AUTH
+        )
+        out = bytearray(b"\x0a" + b"8.0.0-binlake-loopback\x00")
+        out += struct.pack("<I", 1)
+        out += self.SEED[:8] + b"\x00"
+        out += struct.pack("<H", caps & 0xFFFF)
+        out += bytes([33]) + struct.pack("<H", 2)
+        out += struct.pack("<H", caps >> 16)
+        out += bytes([21]) + b"\x00" * 10
+        out += self.SEED[8:20] + b"\x00"
+        out += _NATIVE_PLUGIN + b"\x00"
+        return bytes(out)
+
+    def _serve(self, sock: socket.socket) -> None:
+        ok = b"\x00\x00\x00\x02\x00\x00\x00"
+        seq = write_packet(sock, self._handshake_payload(), 0)
+        try:
+            resp, seq = read_packet(sock, expect_seq=seq)
+        except (ConnectionError, ValueError):
+            return
+        # HandshakeResponse41: caps(4) maxpkt(4) charset(1) 23 filler,
+        # user NUL, 1-byte auth len, auth
+        pos = 32
+        nul = resp.index(b"\x00", pos)
+        user = resp[pos:nul].decode("utf-8", "replace")
+        auth = resp[nul + 2 : nul + 2 + resp[nul + 1]]
+        if user != self.user or not verify_native_password(
+            auth, self.SEED, self.stored_hash2
+        ):
+            write_packet(
+                sock,
+                b"\xff" + struct.pack("<H", 1045) + b"#28000Access denied",
+                seq,
+            )
+            return
+        write_packet(sock, ok, seq)
+        while True:
+            try:
+                cmd, _ = read_packet(sock, expect_seq=0)
+            except (ConnectionError, ValueError):
+                return
+            if not cmd or cmd[0] == COM_QUIT:
+                return
+            if cmd[0] in (COM_QUERY, COM_REGISTER_SLAVE):
+                write_packet(sock, ok, 1)
+            elif cmd[0] in (COM_BINLOG_DUMP, COM_BINLOG_DUMP_GTID):
+                from binlake_spark.functions.framing import append_checksum
+
+                seq = 1
+                for ev in self.events:
+                    wire = append_checksum(ev) if self.checksum else ev
+                    seq = write_packet(sock, b"\x00" + wire, seq)
+                write_packet(sock, b"\xfe\x00\x00\x02\x00", seq)
+            else:
+                write_packet(
+                    sock,
+                    b"\xff" + struct.pack("<H", 1047)
+                    + b"#08S01Unknown command",
+                    1,
+                )

@@ -359,3 +359,28 @@ def test_spool_and_spark_deframe(spark, tmp_path):
 
     blob0 = pq.read_table(f"{spool}/blob-00000000.parquet")
     assert split_packets(blob0["frames"][0].as_py()) == EVENTS[:16]
+
+
+def test_loopback_master_auth_and_dump():
+    """The shipped LoopbackMaster (the sandbox's integration target —
+    BinlogDumpTest.java runs against a live MySQL) speaks the same
+    protocol the independent FakeMysqld above verifies."""
+    from binlake_spark.sources.socket_dump import (
+        LoopbackMaster,
+        verify_native_password,
+    )
+
+    evs = [b"x" * i for i in range(1, 8)]
+    with LoopbackMaster("u", "pw", evs) as m:
+        with BinlogDumpClient("127.0.0.1", m.port, "u", "pw", server_id=1) as c:
+            assert list(c.dump(filename="b.1", pos=4)) == evs
+        with pytest.raises(MySQLError) as ei:
+            BinlogDumpClient("127.0.0.1", m.port, "u", "bad", server_id=1).connect()
+        assert ei.value.code == 1045
+    # the server-side check accepts exactly the client's scramble
+    import hashlib
+
+    h2 = hashlib.sha1(hashlib.sha1(b"pw").digest()).digest()
+    good = scramble_native_password("pw", LoopbackMaster.SEED)
+    assert verify_native_password(good, LoopbackMaster.SEED, h2)
+    assert not verify_native_password(good[:-1] + b"\x00", LoopbackMaster.SEED, h2)
