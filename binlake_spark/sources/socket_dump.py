@@ -543,6 +543,7 @@ def spool_dump(
     spool_dir: str,
     events_per_blob: int = 2048,
     max_events: int | None = None,
+    flush_after=None,
 ) -> int:
     """Drain an event iterator into framed parquet blobs Spark can tail.
 
@@ -555,6 +556,13 @@ def spool_dump(
     number of events spooled.  Blob size is the parallelism knob: at
     1000 executors you want thousands of small blobs per checkpoint
     interval, not one giant one.
+
+    ``flush_after``: optional ``bytes -> bool`` predicate; a True event
+    closes the current blob AFTER being appended (replacing the
+    size-based cut).  Pass an XID/ROTATE matcher so blobs cut at
+    transaction boundaries — the invariant the binlog event walk
+    (functions/binlog_events.py) needs to keep every TABLE_MAP in the
+    same blob as its ROWS events.
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -584,7 +592,10 @@ def spool_dump(
     for ev in events:
         batch.append(ev)
         total += 1
-        if len(batch) >= events_per_blob:
+        if flush_after is not None:
+            if flush_after(ev):
+                flush()
+        elif len(batch) >= events_per_blob:
             flush()
         if max_events is not None and total >= max_events:
             break
