@@ -3449,6 +3449,163 @@ def cdc_socket_dump_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "cdc_binlog_stream_decode",
+    f"""
+    SELECT op, id, title, price_str, code, flag
+    FROM '{_ORACLE_LOG_BASE}/sf{_SF_TOKEN}/stream_truth.parquet'
+    """,
+    driver=False,
+)
+def cdc_binlog_stream_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The binlog stream GRAMMAR, oracle-witnessed: deterministic change
+    rows are encoded as a real v4 event stream (GTID → TABLE_MAP → one
+    ROWS event per change → XID per transaction, headers and all —
+    functions/binlog_events.py encoders), spooled as framed blobs cut at
+    XID, and Spark runs the full consume side: ``binlog_rows_stream``
+    (deframe + header walk + TABLE_MAP registry + ROWS image split,
+    fused in one Arrow pass) → ``decode_row_images`` with the registry
+    specs.  The oracle reads the SOURCE truth written next to the blobs,
+    so a hash match proves every layer of the grammar — event lengths,
+    table-map metadata, null bitmaps, variable-width walks, unsigned
+    overlay — reproduces the original values.  EXTRA: the value codecs
+    underneath are driver-witnessed by `cdc_row_image_decode`; this adds
+    the stream framing above them."""
+    from decimal import Decimal
+
+    from binlake_spark.functions.binlog_decode import (
+        encode_char_table_meta,
+        encode_row_images,
+    )
+    from binlake_spark.functions.binlog_events import (
+        _T,
+        GTID_EVENT,
+        TABLE_MAP_EVENT,
+        XID_EVENT,
+        binlog_rows_stream,
+        decode_table_map,
+        encode_event,
+        encode_gtid_body,
+        encode_rows_event,
+        encode_table_map,
+        encode_xid_body,
+    )
+    from binlake_spark.functions.framing import frame_payloads
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    n_ids = max(500, int(50_000 * float(sf)))
+    base = f"{_ORACLE_LOG_BASE}/sf{sf}"
+    truth_path = f"{base}/stream_truth.parquet"
+    spool = f"{base}/stream_blobs"
+    marker = f"{base}/_SPEC_stream"
+    tag = f"v1:{n_ids}"
+    cols = [
+        (_T["LONG"], ()),                             # id
+        (_T["VARCHAR"], (120,)),                      # title
+        (_T["NEWDECIMAL"], (12, 4)),                  # price
+        (_T["STRING"], (encode_char_table_meta(8),)), # code char(8)
+        (_T["TINY"], ()),                             # flag tinyint unsigned
+    ]
+    overlay = {
+        ("shop", "docs"): [
+            {"name": "id"}, {"name": "title"}, {"name": "price"},
+            {"name": "code"}, {"name": "flag", "unsigned": True},
+        ]
+    }
+    _, _, _, specs = decode_table_map(
+        encode_table_map(23, "shop", "docs", cols), overlay[("shop", "docs")]
+    )
+
+    done = False
+    try:
+        with open(marker) as f:
+            done = f.read() == tag
+    except OSError:
+        pass
+    if not done:
+        import shutil
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        def row(i: int, title) -> dict:
+            return {
+                "id": i,
+                "title": title,
+                "price": Decimal(7919 * i % 10**7 - 5 * 10**6).scaleb(-4),
+                "code": None if i % 13 == 0 else f"c{i % 97}",
+                "flag": (i * 3) % 256,
+            }
+
+        changes: list[tuple[str, dict]] = []
+        for i in range(n_ids):
+            changes.append(("I", row(i, None if i % 7 == 0 else f"title-{i}")))
+        for i in range(n_ids):
+            if i % 11 == 0:
+                changes.append(("D", row(i, None if i % 7 == 0 else f"title-{i}")))
+            elif i % 5 == 0:
+                changes.append(("U", row(i, f"upd-{i}")))
+
+        shutil.rmtree(spool, ignore_errors=True)
+        os.makedirs(spool, exist_ok=True)
+        blob_id = 0
+        for lo in range(0, len(changes), 40):  # ~40 changes per txn/blob
+            txn = changes[lo : lo + 40]
+            events = [
+                encode_event(GTID_EVENT, encode_gtid_body(
+                    "e6954592-8dba-11e6-af0e-fa163e1cf111", 1 + lo // 40
+                )),
+                encode_event(
+                    TABLE_MAP_EVENT, encode_table_map(23, "shop", "docs", cols)
+                ),
+            ]
+            for op, r in txn:
+                img = encode_row_images([r], specs)[0]
+                before = (
+                    encode_row_images([row(r["id"], "pre")], specs)[0]
+                    if op == "U" else None
+                )
+                events.append(encode_event(*encode_rows_event(
+                    23, op, [(img, before)], len(cols)
+                )))
+            events.append(encode_event(XID_EVENT, encode_xid_body(9000 + lo)))
+            tbl = pa.table({
+                "blob_id": pa.array([blob_id], type=pa.int64()),
+                "frames": pa.array([frame_payloads(events)], type=pa.binary()),
+            })
+            pq.write_table(tbl, f"{spool}/blob-{blob_id:06d}.parquet")
+            blob_id += 1
+
+        truth = pd.DataFrame([
+            {
+                "op": op, "id": r["id"], "title": r["title"],
+                "price_str": str(r["price"]), "code": r["code"],
+                "flag": r["flag"],
+            }
+            for op, r in changes
+        ])
+        truth["id"] = truth["id"].astype("int32")
+        truth["flag"] = truth["flag"].astype("int32")
+        pq.write_table(pa.Table.from_pandas(truth, preserve_index=False),
+                       truth_path)
+        with open(marker, "w") as f:
+            f.write(tag)
+
+    frames = spark.read.schema("blob_id long, frames binary").parquet(spool)
+    rows = binlog_rows_stream(frames, schema_overlay=overlay)
+    from binlake_spark.functions.binlog_decode import decode_row_images
+
+    return decode_row_images(rows.select("op", "image"), "image", specs).select(
+        "op",
+        F.col("id").cast("int").alias("id"),
+        "title",
+        F.col("price").cast("string").alias("price_str"),
+        "code",
+        F.col("flag").cast("int").alias("flag"),
+    )
+
+
 # --------------------------------------------------------------------- #
 # Driver-row consolidation (round 4): the harness records a CORRECTNESS
 # row for at most 50 queries (round 3 recorded exactly the first 50 in
