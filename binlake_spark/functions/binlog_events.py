@@ -517,11 +517,12 @@ def parse_binlog_events(
                 )
             db, table, specs = tmaps[tid]
             _, rows = decode_rows_body(body, op, version, specs)
-            for img, before in rows:
+            for j, (img, before) in enumerate(rows):
                 yield {
                     "kind": "row", **base, "db": db, "table": table,
                     "op": op, "image": img, "before_image": before,
                     "specs": specs, "sid": cur_sid, "gno": cur_gno,
+                    "row_idx": j, "log_pos": h["next_pos"],
                 }
         elif et in (HEARTBEAT_EVENT, ROWS_QUERY_EVENT):
             yield {"kind": "heartbeat" if et == HEARTBEAT_EVENT else "query",
@@ -569,6 +570,8 @@ def binlog_rows_stream(
         fields
         + [
             T.StructField("evt_idx", T.IntegerType(), False),
+            T.StructField("row_idx", T.IntegerType(), False),
+            T.StructField("log_pos", T.LongType(), False),
             T.StructField("db", T.StringType(), False),
             T.StructField("table", T.StringType(), False),
             T.StructField("op", T.StringType(), False),
@@ -586,7 +589,8 @@ def binlog_rows_stream(
             names = [n for n in b.schema.names if n != frames_col]
             keep = [b.column(n) for n in names]
             blobs = b.column(frames_col)
-            take, evt_idx, dbs, tbls, ops = [], [], [], [], []
+            take, evt_idx, row_idx, poss = [], [], [], []
+            dbs, tbls, ops = [], [], []
             tss, sids, gsids, gnos, imgs, befores = [], [], [], [], [], []
             for i in range(len(blobs)):
                 blob = blobs[i].as_py()
@@ -598,6 +602,8 @@ def binlog_rows_stream(
                         continue
                     take.append(i)
                     evt_idx.append(rec["evt_idx"])
+                    row_idx.append(rec["row_idx"])
+                    poss.append(rec["log_pos"])
                     dbs.append(rec["db"])
                     tbls.append(rec["table"])
                     ops.append(rec["op"])
@@ -610,6 +616,8 @@ def binlog_rows_stream(
             idx = pa.array(take, type=pa.int64())
             cols = [c.take(idx) for c in keep] + [
                 pa.array(evt_idx, type=pa.int32()),
+                pa.array(row_idx, type=pa.int32()),
+                pa.array(poss, type=pa.int64()),
                 pa.array(dbs, type=pa.string()),
                 pa.array(tbls, type=pa.string()),
                 pa.array(ops, type=pa.string()),
@@ -621,8 +629,8 @@ def binlog_rows_stream(
                 pa.array(befores, type=pa.binary()),
             ]
             out_names = names + [
-                "evt_idx", "db", "table", "op", "ts", "server_id",
-                "gtid_sid", "gno", "image", "before_image",
+                "evt_idx", "row_idx", "log_pos", "db", "table", "op", "ts",
+                "server_id", "gtid_sid", "gno", "image", "before_image",
             ]
             yield pa.RecordBatch.from_arrays(
                 cols, schema=pa.schema(

@@ -1,0 +1,101 @@
+"""Wire→engine unification: the SAME change log, once as the parquet
+envelope and once as real binlog bytes through the live socket path,
+must land the identical final table (sources/binlog_bridge.py)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from binlake_spark.changelog.generator import (
+    CHANGE_LOG_SCHEMA,
+    GenSpec,
+    generate_change_log,
+    write_change_log,
+)
+from binlake_spark.functions.binlog_events import (
+    XID_EVENT,
+    binlog_rows_stream,
+    parse_binlog_events,
+)
+from binlake_spark.sources.binlog_bridge import (
+    DOCS_WIRE_OVERLAY,
+    encode_envelope_as_binlog,
+    envelope_from_binlog_rows,
+)
+from binlake_spark.sources.socket_dump import (
+    BinlogDumpClient,
+    LoopbackMaster,
+    spool_dump,
+)
+from binlake_spark.streaming import CdcEngine
+
+
+def _is_xid(ev: bytes) -> bool:
+    return ev[4] == XID_EVENT
+
+
+def test_encode_parse_roundtrip_counts():
+    pdf = generate_change_log(GenSpec(n_docs=20, n_events=120))
+    events = encode_envelope_as_binlog(pdf)
+    recs = list(
+        parse_binlog_events(events, {("shop", "docs"): DOCS_WIRE_OVERLAY})
+    )
+    rows = [r for r in recs if r["kind"] == "row"]
+    assert len(rows) == len(pdf)
+    assert [r["op"] for r in rows] == list(pdf.sort_values("seq")["op"])
+    n_txn = pdf["trx_id"].nunique()
+    assert sum(r["kind"] == "gtid" for r in recs) == n_txn
+    assert sum(r["kind"] == "xid" for r in recs) == n_txn
+
+
+def test_engine_replay_from_binlog_wire(spark, tmp_path):
+    """Retransmits, hot keys, out-of-order windows, corrupt rows, and
+    update before-images — generated once, replayed twice: file-source
+    envelope vs socket→spool→wire-decode→bridge envelope."""
+    spec = GenSpec(
+        n_docs=60, n_events=900, events_per_epoch=300,
+        retransmit_frac=0.08, hot_keys=3, hot_frac=0.2,
+        corrupt_frac=0.02, before_images=True,
+    )
+    pdf = generate_change_log(spec)
+
+    # leg A: the oracle-checked file path
+    src = str(tmp_path / "log")
+    write_change_log(pdf, src)
+    ta = CdcEngine.create_table(str(tmp_path / "a"), num_buckets=8)
+    ea = CdcEngine(ta)
+    ea.run_batch_replay(spark, src)
+
+    # leg B: binlog bytes through the live socket transport
+    events = encode_envelope_as_binlog(pdf)
+    spool = str(tmp_path / "spool")
+    with LoopbackMaster("u", "pw", events) as m:
+        with BinlogDumpClient("127.0.0.1", m.port, "u", "pw", server_id=5) as c:
+            n = spool_dump(c.dump(filename="b.1", pos=4), spool,
+                           flush_after=_is_xid)
+    assert n == len(events)
+    frames = spark.read.schema("blob_id long, n_events int, first_event long,"
+                               " frames binary").parquet(spool)
+    changes = binlog_rows_stream(
+        frames.select("blob_id", "frames"),
+        schema_overlay={("shop", "docs"): DOCS_WIRE_OVERLAY},
+    )
+    env = envelope_from_binlog_rows(changes)
+    assert env.schema.simpleString() == (
+        spark.createDataFrame([], CHANGE_LOG_SCHEMA).schema.simpleString()
+    )
+    tb = CdcEngine.create_table(str(tmp_path / "b"), num_buckets=8)
+    eb = CdcEngine(tb)
+    eb.run_batch_replay(spark, source_df=env, n_events_hint=n)
+
+    cols = ["doc_id", "tokens", "n_tok", "source"]
+    a = ea.read_state(spark).select(*cols).toPandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    b = eb.read_state(spark).select(*cols).toPandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    assert [list(t) for t in a["tokens"]] == [list(t) for t in b["tokens"]]
+    assert list(a["n_tok"]) == list(b["n_tok"])
+    assert list(a["source"]) == list(b["source"])
