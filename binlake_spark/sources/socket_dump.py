@@ -411,6 +411,7 @@ class BinlogDumpClient:
         server_id: int,
         checksum_alg: str = CHECKSUM_ALG_CRC32,
         connect_timeout: float = 10.0,
+        read_timeout: float | None = None,
     ):
         if checksum_alg not in (CHECKSUM_ALG_OFF, CHECKSUM_ALG_CRC32):
             raise ValueError(f"unknown checksum_alg {checksum_alg!r}")
@@ -419,6 +420,7 @@ class BinlogDumpClient:
         self.server_id = int(server_id)
         self.checksum_alg = checksum_alg
         self.connect_timeout = connect_timeout
+        self.read_timeout = read_timeout
         self._sock: socket.socket | None = None
         self.handshake: HandshakeV10 | None = None
 
@@ -427,7 +429,11 @@ class BinlogDumpClient:
         sock = socket.create_connection(
             (self.host, self.port), timeout=self.connect_timeout
         )
-        sock.settimeout(None)
+        # read_timeout bounds every recv: a silently-stalled master
+        # surfaces as socket.timeout instead of a hung fetcher (the
+        # reference detects this via the heartbeat event cadence —
+        # size read_timeout above the master's heartbeat period)
+        sock.settimeout(self.read_timeout)
         try:
             payload, seq = read_packet(sock, expect_seq=0)
             hs = decode_handshake_v10(payload)
@@ -544,6 +550,7 @@ def spool_dump(
     events_per_blob: int = 2048,
     max_events: int | None = None,
     flush_after=None,
+    max_blob_events: int = 65536,
 ) -> int:
     """Drain an event iterator into framed parquet blobs Spark can tail.
 
@@ -562,7 +569,11 @@ def spool_dump(
     size-based cut).  Pass an XID/ROTATE matcher so blobs cut at
     transaction boundaries — the invariant the binlog event walk
     (functions/binlog_events.py) needs to keep every TABLE_MAP in the
-    same blob as its ROWS events.
+    same blob as its ROWS events.  ``max_blob_events`` (64k) backstops a
+    runaway transaction: rather than buffering it unboundedly the blob
+    is force-cut, and if that ever splits a TABLE_MAP from its rows the
+    stream walk fails loudly with the cause in the message — a visible
+    error over a silent fetcher OOM.
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -593,7 +604,7 @@ def spool_dump(
         batch.append(ev)
         total += 1
         if flush_after is not None:
-            if flush_after(ev):
+            if flush_after(ev) or len(batch) >= int(max_blob_events):
                 flush()
         elif len(batch) >= events_per_blob:
             flush()
