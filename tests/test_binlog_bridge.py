@@ -49,10 +49,12 @@ def test_encode_parse_roundtrip_counts():
     assert sum(r["kind"] == "xid" for r in recs) == n_txn
 
 
-def test_engine_replay_from_binlog_wire(spark, tmp_path):
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_engine_replay_from_binlog_wire(spark, tmp_path, mode):
     """Retransmits, hot keys, out-of-order windows, corrupt rows, and
     update before-images — generated once, replayed twice: file-source
-    envelope vs socket→spool→wire-decode→bridge envelope."""
+    envelope vs socket→spool→wire-decode→bridge envelope, in both
+    engine modes."""
     spec = GenSpec(
         n_docs=60, n_events=900, events_per_epoch=300,
         retransmit_frac=0.08, hot_keys=3, hot_frac=0.2,
@@ -64,7 +66,7 @@ def test_engine_replay_from_binlog_wire(spark, tmp_path):
     src = str(tmp_path / "log")
     write_change_log(pdf, src)
     ta = CdcEngine.create_table(str(tmp_path / "a"), num_buckets=8)
-    ea = CdcEngine(ta)
+    ea = CdcEngine(ta, mode=mode)
     ea.run_batch_replay(spark, src)
 
     # leg B: binlog bytes through the live socket transport
@@ -86,7 +88,7 @@ def test_engine_replay_from_binlog_wire(spark, tmp_path):
         spark.createDataFrame([], CHANGE_LOG_SCHEMA).schema.simpleString()
     )
     tb = CdcEngine.create_table(str(tmp_path / "b"), num_buckets=8)
-    eb = CdcEngine(tb)
+    eb = CdcEngine(tb, mode=mode)
     eb.run_batch_replay(spark, source_df=env, n_events_hint=n)
 
     cols = ["doc_id", "tokens", "n_tok", "source"]
