@@ -548,8 +548,8 @@ class CdcEngine:
     def run_stream(
         self,
         spark: SparkSession,
-        source_dir: str,
-        checkpoint_dir: str,
+        source_dir: str | None = None,
+        checkpoint_dir: str | None = None,
         max_files_per_trigger: int | None = None,
         available_now: bool = True,
         stop_after_epochs: int | None = None,
@@ -558,6 +558,7 @@ class CdcEngine:
         retry_backoff_s: float = 2.0,
         verify_source: bool = True,
         consumers: list | None = None,
+        source_df: DataFrame | None = None,
     ):
         """Tail the change log with Structured Streaming.
 
@@ -591,13 +592,32 @@ class CdcEngine:
         """
         from pyspark.errors import StreamingQueryException
 
-        if verify_source:
-            self.assert_source_covers_table(source_dir)
-
-        reader = spark.readStream.schema(CHANGE_LOG_SCHEMA)
-        if max_files_per_trigger:
-            reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
-        stream = reader.parquet(source_dir)
+        # source_df is the transport-agnostic streaming entry (the
+        # twin of run_batch_replay's): any STREAMING frame in the
+        # envelope schema drives the identical loop — in particular the
+        # wire path (spool → binlog_rows_stream → binlog_bridge) and
+        # the rate/Kafka sources.  Coverage checks belong to the
+        # transport there, so verify_source applies to directories only.
+        if (source_dir is None) == (source_df is None):
+            raise ValueError("pass exactly one of source_dir / source_df")
+        if checkpoint_dir is None:
+            raise ValueError("checkpoint_dir is required")
+        if source_df is not None:
+            if not source_df.isStreaming:
+                raise ValueError(
+                    "source_df must be a streaming DataFrame (use "
+                    "run_batch_replay for bounded frames)"
+                )
+            stream = source_df
+        else:
+            if verify_source:
+                self.assert_source_covers_table(source_dir)
+            reader = spark.readStream.schema(CHANGE_LOG_SCHEMA)
+            if max_files_per_trigger:
+                reader = reader.option(
+                    "maxFilesPerTrigger", int(max_files_per_trigger)
+                )
+            stream = reader.parquet(source_dir)
 
         def feb(batch_df: DataFrame, epoch_id: int):
             self.apply_batch(batch_df, epoch_id)

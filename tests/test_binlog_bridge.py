@@ -101,3 +101,57 @@ def test_engine_replay_from_binlog_wire(spark, tmp_path, mode):
     assert [list(t) for t in a["tokens"]] == [list(t) for t in b["tokens"]]
     assert list(a["n_tok"]) == list(b["n_tok"])
     assert list(a["source"]) == list(b["source"])
+
+
+def test_streaming_wire_replay(spark, tmp_path):
+    """The STREAMING loop over the wire path: Structured Streaming tails
+    the spool, the stream walk + bridge run as streaming transforms, and
+    run_stream(source_df=) lands the same table as the batch file
+    replay — the transport-agnostic twin of the batch entry."""
+    pdf = generate_change_log(
+        GenSpec(n_docs=40, n_events=400, events_per_epoch=100,
+                retransmit_frac=0.1, hot_keys=2, hot_frac=0.3)
+    )
+    events = encode_envelope_as_binlog(pdf)
+    spool = str(tmp_path / "spool")
+    with LoopbackMaster("u", "pw", events) as m:
+        with BinlogDumpClient("127.0.0.1", m.port, "u", "pw", server_id=5) as c:
+            spool_dump(c.dump(filename="b.1", pos=4), spool,
+                       flush_after=_is_xid)
+
+    stream = spark.readStream.schema(
+        "blob_id long, n_events int, first_event long, frames binary"
+    ).parquet(spool).select("blob_id", "frames")
+    env = envelope_from_binlog_rows(binlog_rows_stream(
+        stream, schema_overlay={("shop", "docs"): DOCS_WIRE_OVERLAY}
+    ))
+    assert env.isStreaming
+    tw = CdcEngine.create_table(str(tmp_path / "wire"), num_buckets=8)
+    ew = CdcEngine(tw)
+    ew.run_stream(spark, checkpoint_dir=str(tmp_path / "ckpt"),
+                  source_df=env)
+
+    src = str(tmp_path / "log")
+    write_change_log(pdf, src)
+    tf = CdcEngine.create_table(str(tmp_path / "file"), num_buckets=8)
+    CdcEngine(tf).run_batch_replay(spark, src)
+
+    cols = ["doc_id", "tokens", "n_tok", "source"]
+    a = tw.read(spark).select(*cols).toPandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    b = tf.read(spark).select(*cols).toPandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    assert [list(t) for t in a["tokens"]] == [list(t) for t in b["tokens"]]
+
+    # entry-contract guards
+    with pytest.raises(ValueError, match="exactly one"):
+        ew.run_stream(spark, source_dir=spool, source_df=env,
+                      checkpoint_dir=str(tmp_path / "ck2"))
+    with pytest.raises(ValueError, match="must be a streaming"):
+        ew.run_stream(
+            spark,
+            source_df=spark.read.schema(CHANGE_LOG_SCHEMA).parquet(src),
+            checkpoint_dir=str(tmp_path / "ck3"),
+        )
