@@ -12,6 +12,7 @@ client codec fails these tests instead of round-tripping through it.
 from __future__ import annotations
 
 import hashlib
+import os
 import socket
 import socketserver
 import struct
@@ -384,3 +385,25 @@ def test_loopback_master_auth_and_dump():
     good = scramble_native_password("pw", LoopbackMaster.SEED)
     assert verify_native_password(good, LoopbackMaster.SEED, h2)
     assert not verify_native_password(good[:-1] + b"\x00", LoopbackMaster.SEED, h2)
+
+
+def test_spool_flush_after_and_size_backstop(tmp_path):
+    import pyarrow.parquet as pq
+
+    evs = [bytes([t]) * 8 for t in range(1, 30)]
+    # predicate cut: every 7th event closes a blob
+    d1 = str(tmp_path / "cut")
+    spool_dump(iter(evs), d1, flush_after=lambda e: e[0] % 7 == 0)
+    sizes = [
+        pq.read_table(f"{d1}/{f}")["n_events"][0].as_py()
+        for f in sorted(os.listdir(d1))
+    ]
+    assert sizes == [7, 7, 7, 7, 1]
+    # runaway transaction: the backstop force-cuts instead of buffering
+    d2 = str(tmp_path / "backstop")
+    spool_dump(iter(evs), d2, flush_after=lambda e: False, max_blob_events=10)
+    sizes = [
+        pq.read_table(f"{d2}/{f}")["n_events"][0].as_py()
+        for f in sorted(os.listdir(d2))
+    ]
+    assert sizes == [10, 10, 9]
