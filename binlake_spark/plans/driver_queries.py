@@ -705,6 +705,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     otherwise creates a quadratic posting-list blowup on a single key.
     Set sizes stay uncapped, so scores are conservative lower bounds and
     the oracle mirrors the cap exactly."""
+    from binlake_spark.checkpointing import materialize
+
     docs2 = _clones(spark, sf_dir)
     grams = (
         docs2.select(
@@ -721,12 +723,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         # join/aggregate on the portable 60-bit gram hash, not the gram
         # string: every downstream shuffle row shrinks to 16 bytes, and
         # the (doc_id, h) posting list is materialized ONCE
-        # (localCheckpoint) instead of re-deriving the explode+distinct
-        # for each of its four consumers (cnt, keep, both join sides)
+        # (checkpointing.materialize — honors the reliable-mode knob)
+        # instead of re-deriving the explode+distinct for each of its
+        # four consumers (cnt, keep, both join sides)
         .select("doc_id", F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long").alias("h"))
         .distinct()
-        .localCheckpoint()
     )
+    grams = materialize(grams)
     cnt = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # apply the df-cap as a broadcast ANTI-join on the (tiny) drop set —
     # the keep set is nearly every gram, and inner-joining it back
@@ -1550,6 +1553,8 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     is partition pruning.  The fully-trained (multi-round, K-configurable)
     operator form is binlake_spark.operators.ivf (recall-tested in
     pytest); this query keeps every step int-exact for the oracle."""
+    from binlake_spark.checkpointing import materialize
+
     e = _quantized_embeddings(spark, sf_dir)
 
     def score(ce):
@@ -1582,9 +1587,10 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cell").alias("cid"), F.transform("sm", lambda t: t["m"]).alias("ce")
         )
         # K tiny rows consumed by three downstream plans (assignment, probe,
-        # rerank) — checkpoint so training runs once, not three times
-        .localCheckpoint()
+        # rerank) — materialize so training runs once, not three times
+        # (checkpointing.materialize honors the reliable-mode knob)
     )
+    c1 = materialize(c1)
     a2 = assign(e, c1, ["vec_id", "label"])
     q = e.filter(F.col("vec_id") == 0).select(F.col("qe").alias("q_qe"))
     probe = (
