@@ -274,3 +274,78 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
     )
+
+
+def drop_duplicate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    words_per_line: int = 8,
+    max_docs: int = 1,
+    broadcast_drop: bool | None = None,
+    broadcast_drop_limit: int = 4_000_000,
+) -> DataFrame:
+    """Cross-corpus duplicate-LINE removal (the RefinedWeb/CCNet
+    boilerplate pass — finer than document dedup: a page is kept but its
+    nav bars / cookie banners / footers that repeat across the corpus
+    are cut).  The corpus here has no newlines, so a "line" is a fixed
+    window of ``words_per_line`` consecutive words (the tail shorter
+    than a full window is outside the line segmentation and untouched —
+    documented contract, same as the gram builders dropping short docs).
+
+    A line is boilerplate when it appears in more than ``max_docs``
+    DISTINCT documents.  Returns ``(id, n_lines, n_kept, kept_text)``
+    with ``kept_text`` the surviving lines joined by newline.
+
+    100 TB shape — the corpus is NEVER reshuffled:
+
+    - per-doc line arrays are built row-local (total CASE expression:
+      ``sequence(1, 0)`` is a *descending* range in Spark, so the
+      zero-full-lines doc must short-circuit to ``array()``);
+    - df counting explodes ``array_distinct`` (per-doc dedup happens
+      map-side, so ``count(*)`` after groupBy IS the distinct-doc
+      count) and partial-aggregates — shuffle ∝ distinct lines;
+    - the drop set (df > ``max_docs``) is the small boilerplate set;
+      it is folded to ONE row holding the drop array and cross-joined
+      back under the usual tri-state broadcast gate, so the keep/drop
+      decision is a map-side ``array_contains`` per line — zero
+      exchange on the corpus side (the same inversion as
+      :func:`ngram_jaccard_pairs`' df-cap anti-join).
+    """
+    from binlake_spark.operators.tokens import gated_broadcast
+
+    w = f"split({text_col}, ' ')"
+    k = int(words_per_line)
+    lines_expr = F.expr(
+        f"CASE WHEN size({w}) >= {k}"
+        f" THEN transform(sequence(1, size({w}) DIV {k}),"
+        f"      i -> concat_ws(' ', slice({w}, (i - 1) * {k} + 1, {k})))"
+        f" ELSE CAST(array() AS array<string>) END"
+    )
+    docs = df.select(F.col(id_col).alias("_id"), lines_expr.alias("_lines"))
+    dfreq = (
+        docs.select(F.explode(F.array_distinct("_lines")).alias("_line"))
+        .groupBy("_line")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > int(max_docs))
+        .select("_line")
+    )
+    # one row holding the (sorted, deterministic) drop array; a global
+    # agg always yields exactly one row, empty drop set included
+    drop_arr = dfreq.agg(
+        F.sort_array(F.collect_list("_line")).alias("_drop")
+    )
+    kept = F.filter(
+        F.col("_lines"), lambda l: ~F.array_contains(F.col("_drop"), l)
+    )
+    return (
+        docs.crossJoin(
+            gated_broadcast(drop_arr, broadcast_drop, broadcast_drop_limit)
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.size("_lines").cast("long").alias("n_lines"),
+            F.size(kept).cast("long").alias("n_kept"),
+            F.array_join(kept, "\n").alias("kept_text"),
+        )
+    )

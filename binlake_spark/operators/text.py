@@ -134,3 +134,46 @@ def repetition_score(
     return df.withColumns(
         {"dup_word_pml": F.expr(dup_w), "dup_ngram_pml": F.expr(dup_g)}
     )
+
+
+# PII patterns — shared by the operator and its DuckDB oracle, so they
+# are restricted to syntax Java regex (Spark) and RE2 (DuckDB) parse
+# IDENTICALLY: character classes, bounded repetition, \d, \b, literal
+# escapes; no backreferences, no lookaround.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d[\d-]{7,}\d"
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction (the C4/The-Pile/RefinedWeb release-hygiene pass —
+    a training-data engine that can't strip emails/IPs/phones before
+    publishing shards is incomplete): replaces emails, IPv4 addresses
+    and international phone numbers with ``<EMAIL>``/``<IP>``/``<PHONE>``
+    and reports per-category match counts.
+
+    Scrub order matters and is fixed: emails first (an address can
+    embed digit runs a later pass would misread), then phones (the
+    ``+``-prefixed digit/dash run would otherwise be cut by the IP
+    pass), then IPs.  Counts are taken BEFORE any replacement, each
+    against the original text, so they are order-independent.
+
+    Pure JVM ``regexp_count``/``regexp_replace`` — patterns compile
+    once per task, no Python, no shuffle; cost ∝ bytes, embarrassingly
+    parallel at any scale."""
+    t = F.col(text_col)
+    out = df.withColumns(
+        {
+            "n_email": F.regexp_count(t, F.lit(PII_EMAIL)).cast("long"),
+            "n_phone": F.regexp_count(t, F.lit(PII_PHONE)).cast("long"),
+            "n_ip": F.regexp_count(t, F.lit(PII_IPV4)).cast("long"),
+        }
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"), PII_PHONE, "<PHONE>"
+        ),
+        PII_IPV4,
+        "<IP>",
+    )
+    return out.withColumn("scrubbed", scrubbed)

@@ -3612,6 +3612,119 @@ def cdc_binlog_stream_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from binlake_spark.operators.text import PII_EMAIL, PII_IPV4, PII_PHONE
+
+# Deterministic PII synthesis, shared contract between engines: the
+# corpus is PII-free word soup, so each engine appends the SAME derived
+# email/phone/IP per doc_id before scrubbing — the oracle then witnesses
+# the full redaction pipeline on text that actually contains PII.
+_PII_SYNTH_SPARK = (
+    "text || "
+    "CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS STRING)"
+    " || '@mail' || CAST(doc_id % 7 AS STRING) || '.example.com'"
+    " ELSE '' END || "
+    "CASE WHEN doc_id % 5 = 0 THEN ' tel +1-555-'"
+    " || lpad(CAST(doc_id % 10000 AS STRING), 4, '0') || '-99'"
+    " ELSE '' END || "
+    "CASE WHEN doc_id % 2 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS STRING)"
+    " || '.0.' || CAST(doc_id % 100 AS STRING) ELSE '' END"
+)
+
+_PII_SCRUB_ORACLE = """
+    WITH p AS (
+      SELECT doc_id,
+             text ||
+             CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+                  || CAST(doc_id AS VARCHAR) || '@mail'
+                  || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+                  ELSE '' END ||
+             CASE WHEN doc_id % 5 = 0 THEN ' tel +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-99'
+                  ELSE '' END ||
+             CASE WHEN doc_id % 2 = 0 THEN ' host 10.'
+                  || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                  || CAST(doc_id % 100 AS VARCHAR) ELSE '' END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '@EMAIL@')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t, '@PHONE@')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(t, '@IP@')) AS BIGINT) AS n_ip,
+           regexp_replace(regexp_replace(regexp_replace(
+               t, '@EMAIL@', '<EMAIL>', 'g'),
+               '@PHONE@', '<PHONE>', 'g'),
+               '@IP@', '<IP>', 'g') AS scrubbed
+    FROM p
+""".replace("@EMAIL@", PII_EMAIL).replace("@PHONE@", PII_PHONE).replace(
+    "@IP@", PII_IPV4
+)
+
+
+@_register("text_pii_scrub", _PII_SCRUB_ORACLE, driver=False)
+def text_pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/text.py:scrub_pii — the C4/RefinedWeb
+    release-hygiene pass): emails, IPv4s and phone numbers replaced
+    with typed placeholders + per-category counts, over deterministic
+    PII synthesized per doc_id (the corpus itself is PII-free).  The
+    patterns are restricted to the Java-regex ∩ RE2 dialect so both
+    engines compile them identically.  Pure JVM regexp_count /
+    regexp_replace — no shuffle, cost ∝ bytes."""
+    from binlake_spark.operators.text import scrub_pii
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PII_SYNTH_SPARK).alias("text")
+    )
+    return scrub_pii(d).select(
+        "doc_id", "n_email", "n_phone", "n_ip", "scrubbed"
+    )
+
+
+@_register(
+    "dedup_lines",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), l AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) >= 8 THEN
+               list_transform(generate_series(1, len(ws) // 8),
+                              i -> array_to_string(ws[(i-1)*8+1:(i-1)*8+8], ' '))
+             ELSE [] END AS lines
+      FROM w
+    ), e AS (
+      SELECT unnest(list_distinct(lines)) AS line FROM l
+    ), dfreq AS (
+      SELECT line, count(*) AS d FROM e GROUP BY line
+    ), da AS (
+      SELECT coalesce(list(line ORDER BY line), []) AS dl
+      FROM dfreq WHERE d > 1
+    )
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(list_filter(lines, x -> NOT list_contains(dl, x)))
+                AS BIGINT) AS n_kept,
+           coalesce(array_to_string(
+               list_filter(lines, x -> NOT list_contains(dl, x)), chr(10)),
+               '') AS kept_text
+    FROM l, da
+    """,
+    driver=False,
+)
+def dedup_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus duplicate-LINE removal (operators/dedup.py:
+    drop_duplicate_lines — the RefinedWeb/CCNet boilerplate pass, finer
+    than document dedup): fixed 8-word line segmentation, a line
+    appearing in >1 distinct docs is boilerplate and cut from every doc.
+    Scale shape: df shuffle ∝ distinct lines (map-side array_distinct),
+    drop set folded to one broadcast array row, keep/drop decided by a
+    map-side array filter — the corpus is never reshuffled.  DuckDB
+    gotcha pinned in the oracle: array_to_string([]) is NULL there but
+    array_join([]) is '' in Spark, hence the coalesce."""
+    from binlake_spark.operators.dedup import drop_duplicate_lines
+
+    return drop_duplicate_lines(_t(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------- #
 # Driver-row consolidation (round 4): the harness records a CORRECTNESS
 # row for at most 50 queries (round 3 recorded exactly the first 50 in

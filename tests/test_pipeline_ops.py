@@ -805,3 +805,81 @@ def test_dedup_gram_generators_tolerate_short_docs(spark):
     assert minhash_lsh(d, threshold=0.8).count() == 1
     pairs = {(r.doc_a, r.doc_b) for r in simhash_near_dups(d, max_hamming=0).collect()}
     assert (3, 4) in pairs
+
+
+# ------------------------- pii scrub + line dedup ----------------------- #
+def test_scrub_pii_handcrafted(spark):
+    from binlake_spark.operators.text import scrub_pii
+
+    cases = [
+        (0, "mail a.b-c_d%x+1@sub.example.co.uk now", 1, 0, 0,
+         "mail <EMAIL> now"),
+        (1, "ip 10.2.3.4 and 255.255.255.255, ragged 1.2.3.4.5", 0, 0, 3,
+         "ip <IP> and <IP>, ragged <IP>.5"),
+        (2, "call +1-555-0123-456 or +49-30-1234567 end", 0, 2, 0,
+         "call <PHONE> or <PHONE> end"),
+        (3, "mixed u2@m.io +1-555-0100 10.0.0.1", 1, 1, 1,
+         "mixed <EMAIL> <PHONE> <IP>"),
+        (4, "none here", 0, 0, 0, "none here"),
+        # digits glued to word chars: \b must NOT fire inside a token
+        (5, "v1.2.3.4x no-boundary 999.1.1.1ok", 0, 0, 0,
+         "v1.2.3.4x no-boundary 999.1.1.1ok"),
+        (6, "", 0, 0, 0, ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, *_ in cases], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in scrub_pii(df).collect()}
+    for i, _, ne, np_, ni, s in cases:
+        r = got[i]
+        assert (r.n_email, r.n_phone, r.n_ip, r.scrubbed) == (ne, np_, ni, s)
+
+
+def test_drop_duplicate_lines_handcrafted(spark):
+    from binlake_spark.operators.dedup import drop_duplicate_lines
+
+    boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    uniq = ["u%d%d" % (d, i) for d in range(3) for i in range(8)]
+    rows = [
+        # doc 0: boilerplate line + one unique line + 3-word tail
+        (0, boiler + " " + " ".join(uniq[0:8]) + " t1 t2 t3"),
+        # doc 1: unique line + the same boilerplate line
+        (1, " ".join(uniq[8:16]) + " " + boiler),
+        # doc 2: all unique
+        (2, " ".join(uniq[16:24])),
+        # doc 3: shorter than one line -> zero lines, untouched
+        (3, "a b c"),
+        # doc 4: boilerplate twice WITHIN one doc only -> df counts
+        # distinct docs, so an intra-doc repeat alone is not boilerplate
+        (4, "c1 c2 c3 c4 c5 c6 c7 c8 c1 c2 c3 c4 c5 c6 c7 c8"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in drop_duplicate_lines(df).collect()}
+    assert (got[0].n_lines, got[0].n_kept) == (2, 1)
+    assert got[0].kept_text == " ".join(uniq[0:8])  # tail outside segmentation
+    assert (got[1].n_lines, got[1].n_kept) == (2, 1)
+    assert got[1].kept_text == " ".join(uniq[8:16])
+    assert (got[2].n_lines, got[2].n_kept) == (1, 1)
+    assert (got[3].n_lines, got[3].n_kept) == (0, 0) and got[3].kept_text == ""
+    # intra-doc repeat: one distinct line in one doc -> kept (both copies)
+    assert (got[4].n_lines, got[4].n_kept) == (2, 2)
+
+
+def test_drop_duplicate_lines_finds_planted_boilerplate(docs):
+    from binlake_spark.operators.dedup import drop_duplicate_lines
+
+    out = drop_duplicate_lines(docs)
+    agg = out.agg(
+        F.sum("n_lines").alias("nl"), F.sum("n_kept").alias("nk")
+    ).collect()[0]
+    # the sf0.001 corpus has planted boilerplate word windows -> some
+    # 8-word lines repeat across docs and must be cut
+    assert agg.nl > agg.nk
+    # idempotence: scrubbing the kept text again drops nothing new
+    again = drop_duplicate_lines(
+        out.select("doc_id", F.regexp_replace("kept_text", "\n", " ").alias("text"))
+    )
+    a2 = again.agg(
+        F.sum("n_lines").alias("nl"), F.sum("n_kept").alias("nk")
+    ).collect()[0]
+    assert a2.nl == a2.nk

@@ -218,3 +218,22 @@ def test_dup_token_windows_partial_agg_no_hot_key_window(spark):
     # the corpus-sized fingerprint side)
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_drop_duplicate_lines_corpus_never_shuffled(spark):
+    """Boilerplate-line removal must decide keep/drop map-side: the df
+    aggregation runs once up front (materialized, bounded by distinct
+    lines), the drop set is folded to ONE broadcast array row, and the
+    corpus side of the final plan is scan -> project -> broadcast cross
+    join — ZERO hash exchanges.  An exchange here would reshuffle the
+    whole corpus at 100x scale just to cut a handful of boilerplate
+    lines (the same inversion ngram_jaccard_pairs' df-cap uses)."""
+    from binlake_spark.operators.dedup import drop_duplicate_lines
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        drop_duplicate_lines(d)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "Generate" not in plan, plan  # no explode on the kept path
