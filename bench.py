@@ -62,6 +62,9 @@ HEADLINE = [
     "tok_contamination",
     "tok_dup_windows",
     "tok_bpe_pairs",
+    # round 5 additions (release-hygiene passes) — new keys, ditto
+    "text_pii_scrub",
+    "dedup_lines",
 ]
 
 

@@ -282,8 +282,8 @@ def drop_duplicate_lines(
     text_col: str = "text",
     words_per_line: int = 8,
     max_docs: int = 1,
-    broadcast_drop: bool | None = None,
-    broadcast_drop_limit: int = 4_000_000,
+    strategy: str = "auto",
+    filter_max_drop: int = 256,
 ) -> DataFrame:
     """Cross-corpus duplicate-LINE removal (the RefinedWeb/CCNet
     boilerplate pass — finer than document dedup: a page is kept but its
@@ -297,23 +297,39 @@ def drop_duplicate_lines(
     DISTINCT documents.  Returns ``(id, n_lines, n_kept, kept_text)``
     with ``kept_text`` the surviving lines joined by newline.
 
-    100 TB shape — the corpus is NEVER reshuffled:
+    Shared first stage: per-doc line arrays are built row-local (total
+    CASE expression — ``sequence(1, 0)`` is a *descending* range in
+    Spark, so the zero-full-lines doc must short-circuit to ``array()``)
+    and materialized once; the df count explodes ``array_distinct``
+    (per-doc dedup map-side, so ``count(*)`` IS the distinct-doc count)
+    and partial-aggregates — shuffle ∝ distinct lines.  The drop set
+    (df > ``max_docs``) is boilerplate-bounded and always broadcast.
 
-    - per-doc line arrays are built row-local (total CASE expression:
-      ``sequence(1, 0)`` is a *descending* range in Spark, so the
-      zero-full-lines doc must short-circuit to ``array()``);
-    - df counting explodes ``array_distinct`` (per-doc dedup happens
-      map-side, so ``count(*)`` after groupBy IS the distinct-doc
-      count) and partial-aggregates — shuffle ∝ distinct lines;
-    - the drop set (df > ``max_docs``) is the small boilerplate set;
-      it is folded to ONE row holding the drop array and cross-joined
-      back under the usual tri-state broadcast gate, so the keep/drop
-      decision is a map-side ``array_contains`` per line — zero
-      exchange on the corpus side (the same inversion as
-      :func:`ngram_jaccard_pairs`' df-cap anti-join).
+    Two keep/drop strategies — measured crossover, not guesswork:
+
+    - ``"filter"``: the drop set is folded to ONE broadcast array row
+      and membership is a map-side per-line ``array_contains`` — ZERO
+      corpus exchanges (the same inversion as
+      :func:`ngram_jaccard_pairs`' df-cap anti-join).  Per-row cost is
+      O(lines · |drop|) string compares, so this wins when the drop set
+      is genuinely tiny relative to the corpus (per-row Spark
+      expressions rebuild set-like structures per ROW —
+      ``array_intersect`` measures barely better than the linear scan).
+    - ``"join"``: ``posexplode_outer`` → broadcast-mark hash join
+      (hash relation built once per task, O(1) per line) → ONE groupBy
+      reassembling ``sort_array(collect_list(struct(pos, line)))`` —
+      a single corpus-sized exchange, no join-back (the outer explode
+      keeps zero-line docs alive; ``count``/``collect_list`` skip the
+      null padding row).  This is the 100-TB default whenever the drop
+      set is not tiny.
+    - ``"auto"``: the drop set is counted anyway (it must be bounded
+      before broadcasting); ≤ ``filter_max_drop`` picks ``filter``,
+      else ``join``.
     """
-    from binlake_spark.operators.tokens import gated_broadcast
+    from binlake_spark.checkpointing import materialize
 
+    if strategy not in ("auto", "filter", "join"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     w = f"split({text_col}, ' ')"
     k = int(words_per_line)
     lines_expr = F.expr(
@@ -322,30 +338,59 @@ def drop_duplicate_lines(
         f"      i -> concat_ws(' ', slice({w}, (i - 1) * {k} + 1, {k})))"
         f" ELSE CAST(array() AS array<string>) END"
     )
-    docs = df.select(F.col(id_col).alias("_id"), lines_expr.alias("_lines"))
-    dfreq = (
+    docs = materialize(
+        df.select(F.col(id_col).alias("_id"), lines_expr.alias("_lines"))
+    )
+    dfreq = materialize(
         docs.select(F.explode(F.array_distinct("_lines")).alias("_line"))
         .groupBy("_line")
         .agg(F.count(F.lit(1)).alias("_df"))
         .filter(F.col("_df") > int(max_docs))
         .select("_line")
     )
-    # one row holding the (sorted, deterministic) drop array; a global
-    # agg always yields exactly one row, empty drop set included
-    drop_arr = dfreq.agg(
-        F.sort_array(F.collect_list("_line")).alias("_drop")
-    )
-    kept = F.filter(
-        F.col("_lines"), lambda l: ~F.array_contains(F.col("_drop"), l)
-    )
-    return (
-        docs.crossJoin(
-            gated_broadcast(drop_arr, broadcast_drop, broadcast_drop_limit)
+    if strategy == "auto":
+        strategy = "filter" if dfreq.count() <= int(filter_max_drop) else "join"
+
+    if strategy == "filter":
+        # one row holding the (sorted, deterministic) drop array; a
+        # global agg always yields exactly one row, empty set included
+        drop_arr = dfreq.agg(
+            F.sort_array(F.collect_list("_line")).alias("_drop")
         )
-        .select(
+        kept = F.filter(
+            F.col("_lines"), lambda l: ~F.array_contains(F.col("_drop"), l)
+        )
+        return docs.crossJoin(F.broadcast(drop_arr)).select(
             F.col("_id").alias(id_col),
             F.size("_lines").cast("long").alias("n_lines"),
             F.size(kept).cast("long").alias("n_kept"),
             F.array_join(kept, "\n").alias("kept_text"),
+        )
+
+    ex = docs.select(
+        "_id",
+        F.size("_lines").alias("_nl"),
+        F.posexplode_outer("_lines").alias("_pos", "_line"),
+    )
+    marked = ex.join(
+        F.broadcast(dfreq.withColumn("_dup", F.lit(True))), "_line", "left"
+    )
+    keep = F.when(
+        F.col("_line").isNotNull() & F.col("_dup").isNull(),
+        F.struct("_pos", "_line"),
+    )
+    return (
+        marked.groupBy("_id")
+        .agg(
+            F.first("_nl").cast("long").alias("n_lines"),
+            F.transform(
+                F.sort_array(F.collect_list(keep)), lambda s: s._line
+            ).alias("_kept"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_lines",
+            F.size("_kept").cast("long").alias("n_kept"),
+            F.array_join("_kept", "\n").alias("kept_text"),
         )
     )

@@ -883,3 +883,38 @@ def test_drop_duplicate_lines_finds_planted_boilerplate(docs):
         F.sum("n_lines").alias("nl"), F.sum("n_kept").alias("nk")
     ).collect()[0]
     assert a2.nl == a2.nk
+
+
+def test_scrub_pii_idempotent_on_corpus(docs, spark):
+    from binlake_spark.operators.text import scrub_pii
+
+    # synthesize PII the way the driver query does, then scrub twice —
+    # the second pass must find nothing (placeholders match no pattern)
+    pii = docs.select(
+        "doc_id",
+        F.expr(
+            "text || ' u' || CAST(doc_id AS STRING) || '@x.io tel +1-555-0000-99"
+            " at 10.0.0.' || CAST(doc_id % 100 AS STRING)"
+        ).alias("text"),
+    )
+    once = scrub_pii(pii).select("doc_id", F.col("scrubbed").alias("text"))
+    twice = scrub_pii(once)
+    leftover = twice.agg(
+        F.sum(F.col("n_email") + F.col("n_phone") + F.col("n_ip")).alias("n")
+    ).collect()[0].n
+    assert leftover == 0
+    assert twice.filter(F.col("scrubbed") != F.col("text")).count() == 0
+
+
+def test_drop_duplicate_lines_strategies_identical(docs):
+    from binlake_spark.operators.dedup import drop_duplicate_lines
+
+    a = sorted(
+        drop_duplicate_lines(docs, strategy="filter").collect(),
+        key=lambda r: r.doc_id,
+    )
+    b = sorted(
+        drop_duplicate_lines(docs, strategy="join").collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]

@@ -232,8 +232,22 @@ def test_drop_duplicate_lines_corpus_never_shuffled(spark):
 
     d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = (
-        drop_duplicate_lines(d)._jdf.queryExecution().executedPlan().toString()
+        drop_duplicate_lines(d, strategy="filter")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
     )
     assert "Exchange hashpartitioning" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "Generate" not in plan, plan  # no explode on the kept path
+    # the large-drop-set strategy: broadcast-mark HASH join (set built
+    # once per task, not per row) + exactly ONE corpus exchange (the
+    # reassembly groupBy) — no join-back
+    jplan = (
+        drop_duplicate_lines(d, strategy="join")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert jplan.count("Exchange hashpartitioning") == 1, jplan
+    assert "BroadcastHashJoin" in jplan, jplan
