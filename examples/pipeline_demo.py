@@ -10,6 +10,9 @@ tables, asserting each stage's invariant:
    near-dup pairs into clone families and keep the min-id survivor
    (planted leaks fold into their originals), and flag planted
    boilerplate via the intra-doc repetition rule;
+2d. **release hygiene** — PII scrub (emails/phones/IPs redacted,
+   idempotent) and cross-corpus duplicate-line cut (planted shared
+   boilerplate line removed from every carrier);
 3. **contamination screen** — drop documents whose 5-gram containment
    against a benchmark split exceeds threshold (planted leaks);
 4. **mixture weights** — α=1/2 temperature-scaled per-source sampling
@@ -108,6 +111,46 @@ def main() -> int:
     assert len(ids) <= max(1, deduped.count() // 20), ids  # organic corpus clear
     print(f"repetition screen: boilerplate flagged at "
           f">800‰ dup 3-grams, {len(ids) - 1} organic docs over threshold ✓")
+
+    # 2d. release hygiene: PII scrub + cross-corpus duplicate-line cut.
+    # Plant a contact-info doc and a boilerplate 8-word line shared by
+    # two otherwise-unique docs; the scrubber must redact every match
+    # (and be idempotent), the line pass must cut the shared line from
+    # BOTH carriers and nothing else.
+    from binlake_spark.operators.dedup import drop_duplicate_lines
+    from binlake_spark.operators.text import scrub_pii
+
+    pii_doc = spark.createDataFrame(
+        [(4_000_000,
+          "reach me at ops@example.com or +1-555-0100-77 host 10.1.2.3",
+          "web")],
+        "doc_id long, text string, source string",
+    )
+    scrubbed = scrub_pii(deduped.unionByName(pii_doc))
+    hit = scrubbed.filter(F.col("doc_id") == 4_000_000).collect()[0]
+    assert (hit.n_email, hit.n_phone, hit.n_ip) == (1, 1, 1), hit
+    rescrub = scrub_pii(
+        scrubbed.select("doc_id", F.col("scrubbed").alias("text"))
+    )
+    leftover = rescrub.agg(
+        F.sum(F.col("n_email") + F.col("n_phone") + F.col("n_ip"))
+    ).collect()[0][0]
+    assert leftover == 0, leftover
+    shared = "b1 b2 b3 b4 b5 b6 b7 b8"
+    liners = spark.createDataFrame(
+        [(5_000_000, shared + " u1 u2 u3 u4 u5 u6 u7 u8", "web"),
+         (5_000_001, "v1 v2 v3 v4 v5 v6 v7 v8 " + shared, "web")],
+        "doc_id long, text string, source string",
+    )
+    cut = drop_duplicate_lines(deduped.unionByName(liners))
+    got = {r.doc_id: r for r in
+           cut.filter(F.col("doc_id") >= 5_000_000).collect()}
+    assert got[5_000_000].n_kept == got[5_000_000].n_lines - 1
+    assert got[5_000_001].n_kept == got[5_000_001].n_lines - 1
+    assert shared not in got[5_000_000].kept_text
+    assert shared not in got[5_000_001].kept_text
+    print("release hygiene: PII redacted (idempotent), shared boilerplate "
+          "line cut from both carriers ✓")
 
     # 3. contamination: every planted leak is caught — and the benchmark
     # members themselves (containment 1.0 against their own grams) are
