@@ -41,6 +41,7 @@ from binlake_spark.functions.binlog_decode import (
     _col_width,
     char_meta,
 )
+from binlake_spark.functions.framing import BINLOG_CHECKSUM_LEN
 
 EVENT_HEADER_LEN = 19
 
@@ -131,31 +132,50 @@ def _enc_lenenc(n: int) -> bytes:
 
 def decode_event_header(ev: bytes) -> dict:
     """v4 common header (19 bytes): ts, type, server_id, event_len,
-    next_pos, flags.  ``event_len`` covers the header; a mismatch with
-    the actual byte count means the stream was mis-framed upstream and
-    must fail loudly, not mis-walk."""
+    next_pos, flags.
+
+    ``event_len`` covers the whole wire event — and on a
+    checksum-enabled master (``binlog_checksum=CRC32``, the 5.6+
+    default) that INCLUDES the 4-byte CRC32 tail.  The dump/deframe
+    layer validates and strips the tail without rewriting the header
+    (the LogDecoder.java:112-124 ``eventLen -= BINLOG_CHECKSUM_LEN``
+    truncation, expressed as tolerance here), so two byte counts are
+    legal: ``elen == len(ev)`` (checksum off) and ``elen == len(ev) +
+    BINLOG_CHECKSUM_LEN`` (CRC32 tail stripped upstream, reported as
+    ``checksum_stripped=True``).  Any other mismatch means the stream
+    was mis-framed and must fail loudly, not mis-walk."""
     if len(ev) < EVENT_HEADER_LEN:
         raise ValueError(f"event is {len(ev)} bytes, header needs 19")
     ts, etype, server_id, elen, next_pos, flags = struct.unpack_from(
         "<IBIIIH", ev, 0
     )
-    if elen != len(ev):
+    if elen not in (len(ev), len(ev) + BINLOG_CHECKSUM_LEN):
         raise ValueError(
-            f"event header declares {elen} bytes, got {len(ev)} (checksum "
-            f"tail not stripped, or mis-framed stream)"
+            f"event header declares {elen} bytes, got {len(ev)} "
+            f"(mis-framed stream — a stripped CRC32 tail would leave "
+            f"exactly len+{BINLOG_CHECKSUM_LEN})"
         )
     return {
         "ts": ts, "type": etype, "server_id": server_id,
         "event_len": elen, "next_pos": next_pos, "flags": flags,
+        "checksum_stripped": elen == len(ev) + BINLOG_CHECKSUM_LEN,
     }
 
 
 def encode_event(
     etype: int, body: bytes, ts: int = 0, server_id: int = 1, next_pos: int = 0,
-    flags: int = 0,
+    flags: int = 0, checksum_len: int = 0,
 ) -> bytes:
-    """Test-vector / loopback-master side of :func:`decode_event_header`."""
-    elen = EVENT_HEADER_LEN + len(body)
+    """Test-vector / loopback-master side of :func:`decode_event_header`.
+
+    ``checksum_len=BINLOG_CHECKSUM_LEN`` builds the header a CONFORMANT
+    checksum-enabled master writes: ``event_len`` counts the CRC32 tail
+    the master appends on the wire (the tail itself is appended by the
+    transport — LoopbackMaster / ``append_checksum`` — over these exact
+    header+body bytes, matching a real master's CRC coverage).  Feed
+    such events to a ``checksum=True`` master; plain ``checksum_len=0``
+    events are the checksum-off / file-path form."""
+    elen = EVENT_HEADER_LEN + len(body) + checksum_len
     return struct.pack("<IBIIIH", ts, etype, server_id, elen, next_pos, flags) + body
 
 
@@ -165,13 +185,19 @@ def encode_event(
 
 
 def decode_table_map(
-    body: bytes, overlay: list[dict] | None = None
+    body: bytes,
+    overlay: list[dict] | None = None,
+    overlay_registry: dict[tuple[str, str], list[dict]] | None = None,
 ) -> tuple[int, str, str, list[ColumnSpec]]:
     """TABLE_MAP body → (table_id, db, table, specs).  The published
     layout: table_id(6) flags(2) db_len(1) db NUL tbl_len(1) tbl NUL
     col_count(lenenc) type_codes meta_len(lenenc) per-type metadata
     null-bitmap.  ``overlay`` supplies what the binlog cannot: names,
-    unsigned flags, charsets (one dict per column position)."""
+    unsigned flags, charsets (one dict per column position);
+    ``overlay_registry`` is the keyed form — the per-column list is
+    looked up under the (db, table) THIS body names, so callers never
+    re-walk the name fields themselves (the stream walk passes its
+    whole schema registry here)."""
     table_id = int.from_bytes(body[0:6], "little")
     pos = 8  # 6-byte table id + 2-byte flags
     dlen = body[pos]
@@ -180,6 +206,10 @@ def decode_table_map(
     tlen = body[pos]
     table = body[pos + 1 : pos + 1 + tlen].decode("utf-8")
     pos += 2 + tlen
+    if overlay_registry is not None:
+        if overlay is not None:
+            raise ValueError("pass overlay or overlay_registry, not both")
+        overlay = overlay_registry.get((db, table))
     n_cols, pos = _lenenc(body, pos)
     type_codes = list(body[pos : pos + n_cols])
     pos += n_cols
@@ -490,18 +520,12 @@ def parse_binlog_events(
                    "xid": int.from_bytes(body[0:8], "little"),
                    "sid": cur_sid, "gno": cur_gno}
         elif et == TABLE_MAP_EVENT:
-            tid_probe = int.from_bytes(body[0:6], "little")
             # names/charsets come from the registry overlay, keyed by the
-            # db.table the map itself names
-            pos = 8
-            dlen = body[pos]
-            db = body[pos + 1 : pos + 1 + dlen].decode()
-            pos += 2 + dlen
-            tlen = body[pos]
-            table = body[pos + 1 : pos + 1 + tlen].decode()
-            ov = (schema_overlay or {}).get((db, table))
-            tid, db, table, specs = decode_table_map(body, ov)
-            assert tid == tid_probe
+            # db.table the map itself names — resolved inside the single
+            # body walk
+            tid, db, table, specs = decode_table_map(
+                body, overlay_registry=schema_overlay or {}
+            )
             tmaps[tid] = (db, table, specs)
             yield {"kind": "table_map", **base, "db": db, "table": table,
                    "table_id": tid, "specs": specs}

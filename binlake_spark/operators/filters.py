@@ -167,8 +167,12 @@ def regex_list_pattern(patterns: str) -> str:
     (AviaterRegexFilter.java:33-55, completionPattern :107-121): split
     on comma, sort longest-first (the foo|foot pitfall), anchor each
     with ^...$, join with '|'.  Matching is case-insensitive via
-    lowercased targets (filter :57-69)."""
-    parts = [p.strip() for p in patterns.split(",") if p.strip()]
+    lowercased targets (filter :57-69) — the PATTERNS are lowercased
+    here for the same reason: the target side is lowercased at match
+    time, so an uppercase literal in a pattern could never match
+    anything (one-sided case folding is a silent drop-everything
+    trap)."""
+    parts = [p.strip().lower() for p in patterns.split(",") if p.strip()]
     parts.sort(key=len, reverse=True)
     return "|".join(f"^{p}$" for p in parts)
 

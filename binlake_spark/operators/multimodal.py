@@ -72,6 +72,36 @@ def pil_available() -> bool:
         return False
 
 
+def _luminance_vec(px: np.ndarray, n_bytes: int) -> np.ndarray:
+    hist = np.bincount(px >> 4, minlength=16).astype(np.float32)
+    total = max(1.0, float(px.size))
+    return np.concatenate([hist / total, [np.log1p(n_bytes)]]).astype(np.float32)
+
+
+def _decode_with_fallback(payload, kinds, pixels) -> list[np.ndarray]:
+    """Shared real-decoder loop: ``pixels(buf) -> uint8 luminance
+    array`` per image row; every non-image kind or undecodable payload
+    is collected and handed to ``_decode_fake`` ONCE as a batch slice —
+    a mostly-non-image batch must not pay a pandas Series construction
+    per row inside the Arrow hot loop."""
+    out: list = [None] * len(payload)
+    fb_idx: list[int] = []
+    fb_buf: list = []
+    for i, (buf, kind) in enumerate(zip(payload, kinds)):
+        if kind == "image" and buf:
+            try:
+                out[i] = _luminance_vec(pixels(buf), len(buf))
+                continue
+            except Exception:
+                pass  # not decodable — byte-stats fallback below
+        fb_idx.append(i)
+        fb_buf.append(buf)
+    if fb_idx:
+        for i, vec in zip(fb_idx, _decode_fake(pd.Series(fb_buf, dtype=object))):
+            out[i] = vec
+    return out
+
+
 def _decode_png_stdlib(payload: pd.Series, kinds: pd.Series) -> list[np.ndarray]:
     """Real pixel-domain decode with NO optional dependency: the
     stdlib PNG codec (functions/png_codec.py — zlib inflate + scanline
@@ -82,23 +112,9 @@ def _decode_png_stdlib(payload: pd.Series, kinds: pd.Series) -> list[np.ndarray]
     byte-statistics vector rather than poisoning the batch."""
     from binlake_spark.functions.png_codec import png_luminance
 
-    out = []
-    for buf, kind in zip(payload, kinds):
-        if kind == "image" and buf:
-            try:
-                px = png_luminance(bytes(buf))
-                hist = np.bincount(px >> 4, minlength=16).astype(np.float32)
-                total = max(1.0, float(px.size))
-                out.append(
-                    np.concatenate(
-                        [hist / total, [np.log1p(len(buf))]]
-                    ).astype(np.float32)
-                )
-                continue
-            except Exception:
-                pass  # not a PNG — byte-stats fallback below
-        out.append(_decode_fake(pd.Series([buf]))[0])
-    return out
+    return _decode_with_fallback(
+        payload, kinds, lambda buf: png_luminance(bytes(buf))
+    )
 
 
 def _decode_pil(payload: pd.Series, kinds: pd.Series) -> list[np.ndarray]:
@@ -112,25 +128,13 @@ def _decode_pil(payload: pd.Series, kinds: pd.Series) -> list[np.ndarray]:
 
     from PIL import Image
 
-    out = []
-    for buf, kind in zip(payload, kinds):
-        if kind == "image" and buf:
-            try:
-                px = np.asarray(
-                    Image.open(io.BytesIO(buf)).convert("L"), dtype=np.uint8
-                ).ravel()
-                hist = np.bincount(px >> 4, minlength=16).astype(np.float32)
-                total = max(1.0, float(px.size))
-                out.append(
-                    np.concatenate(
-                        [hist / total, [np.log1p(len(buf))]]
-                    ).astype(np.float32)
-                )
-                continue
-            except Exception:
-                pass  # not a decodable image — byte-stats fallback below
-        out.append(_decode_fake(pd.Series([buf]))[0])
-    return out
+    return _decode_with_fallback(
+        payload,
+        kinds,
+        lambda buf: np.asarray(
+            Image.open(io.BytesIO(buf)).convert("L"), dtype=np.uint8
+        ).ravel(),
+    )
 
 
 def extract_features(

@@ -52,11 +52,17 @@ def docs_wire_specs() -> list[ColumnSpec]:
     return specs
 
 
-#: per-blob/per-event packing for the synthesized seq: supports up to
-#: 2^24 events per blob and 2^12 rows per event — far above any spool
-#: cut — while blob ids up to 2^27 keep seq inside a signed 64-bit long
-_EVT_SHIFT = 12
-_BLOB_SHIFT = 24 + _EVT_SHIFT
+#: per-blob/per-event packing for the synthesized seq.  Budget of the
+#: 62 usable bits: 2^20 rows per ROWS event (a real master batches rows
+#: up to binlog_row_event_max_size — a narrow table easily exceeds the
+#: old 2^12), 2^17 events per blob (spool_dump's max_blob_events
+#: backstop caps blobs at 2^16), and 2^26 ≈ 67M blobs (a 10^10-event
+#: log at 2048 events/blob is ~4.9M).  Each ordinal is guarded with
+#: raise_error below — an overflow must abort the replay, never
+#: silently fold into a neighboring field and corrupt the LWW order.
+_ROW_BITS, _EVT_BITS, _BLOB_BITS = 20, 17, 26
+_EVT_SHIFT = _ROW_BITS
+_BLOB_SHIFT = _EVT_BITS + _EVT_SHIFT
 
 
 def envelope_from_binlog_rows(
@@ -85,10 +91,20 @@ def envelope_from_binlog_rows(
         "image",
         specs,
     )
+    def _guarded(col: str, bits: int):
+        c = F.col(col).cast("long")
+        return F.when(
+            (c < 0) | (c >= F.lit(1 << bits)),
+            F.raise_error(F.concat(
+                F.lit(f"binlog seq packing overflow: {col}="), c.cast("string"),
+                F.lit(f" outside [0, 2^{bits}) — widen the bit budget"),
+            )).cast("long"),
+        ).otherwise(c)
+
     seq = (
-        (F.col(blob_col).cast("long") * F.lit(1 << _BLOB_SHIFT))
-        + (F.col("evt_idx").cast("long") * F.lit(1 << _EVT_SHIFT))
-        + F.col("row_idx").cast("long")
+        (_guarded(blob_col, _BLOB_BITS) * F.lit(1 << _BLOB_SHIFT))
+        + (_guarded("evt_idx", _EVT_BITS) * F.lit(1 << _EVT_SHIFT))
+        + _guarded("row_idx", _ROW_BITS)
         + F.lit(1)
     )
     return typed.select(
@@ -110,13 +126,18 @@ def envelope_from_binlog_rows(
     )
 
 
-def encode_envelope_as_binlog(pdf) -> list[bytes]:
+def encode_envelope_as_binlog(pdf, checksum_len: int = 0) -> list[bytes]:
     """Test/fixture side: a change-log envelope pandas frame (generator
     output, seq-ordered) → the equivalent binlog event stream — one
     transaction per ``trx_id`` (GTID, TABLE_MAP, one ROWS event per
     change, XID), full images per the wire contract (an UPDATE's before
     image is the envelope's ``before_payload`` when carried, else the
-    post image — the LWW path never reads it)."""
+    post image — the LWW path never reads it).
+
+    ``checksum_len=BINLOG_CHECKSUM_LEN`` when the events will be served
+    by a ``checksum=True`` master: a conformant master's ``event_len``
+    counts the CRC32 tail it appends on the wire, so the headers must
+    be built +4 (functions/binlog_events.encode_event)."""
     from binlake_spark.functions.binlog_decode import encode_row_images
     from binlake_spark.functions.binlog_events import (
         GTID_EVENT,
@@ -137,12 +158,12 @@ def encode_envelope_as_binlog(pdf) -> list[bytes]:
         events.append(encode_event(
             GTID_EVENT,
             encode_gtid_body(str(first["server_uuid"]), int(first["gno"])),
-            ts=ts,
+            ts=ts, checksum_len=checksum_len,
         ))
         events.append(encode_event(
             TABLE_MAP_EVENT,
             encode_table_map(1, "shop", "docs", DOCS_WIRE_COLUMNS),
-            ts=ts,
+            ts=ts, checksum_len=checksum_len,
         ))
         for _, r in txn.iterrows():
             row = {
@@ -163,9 +184,10 @@ def encode_envelope_as_binlog(pdf) -> list[bytes]:
                 before = encode_row_images([brow], specs)[0]
             events.append(encode_event(
                 *encode_rows_event(1, str(r["op"]), [(img, before)], len(specs)),
-                ts=int(r["ts"].timestamp()),
+                ts=int(r["ts"].timestamp()), checksum_len=checksum_len,
             ))
         events.append(encode_event(
-            XID_EVENT, encode_xid_body(int(trx_id)), ts=ts
+            XID_EVENT, encode_xid_body(int(trx_id)), ts=ts,
+            checksum_len=checksum_len,
         ))
     return events

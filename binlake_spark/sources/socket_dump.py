@@ -33,6 +33,7 @@ import hashlib
 import os
 import socket
 import struct
+import time
 import uuid as _uuid
 from dataclasses import dataclass
 from typing import Iterable, Iterator
@@ -446,13 +447,22 @@ class BinlogDumpClient:
             sock.close()
             raise
         self._sock, self.handshake = sock, hs
-        # replicas announce the checksum they can read BEFORE dumping —
-        # without this a CRC32 master refuses the dump (public replica
-        # handshake); the session var mirrors what we later validate
-        self.query_ok(
-            "SET @master_binlog_checksum = "
-            + ("'CRC32'" if self.checksum_alg == CHECKSUM_ALG_CRC32 else "'NONE'")
-        )
+        try:
+            # replicas announce the checksum they can read BEFORE dumping
+            # — without this a CRC32 master refuses the dump (public
+            # replica handshake); the session var mirrors what we later
+            # validate
+            self.query_ok(
+                "SET @master_binlog_checksum = "
+                + ("'CRC32'" if self.checksum_alg == CHECKSUM_ALG_CRC32
+                   else "'NONE'")
+            )
+        except BaseException:
+            # a post-auth failure (restricted user, proxy rejecting
+            # session vars) must not leak the connected socket — the
+            # exception escapes __enter__, so __exit__ never runs
+            self.close()
+            raise
         return self
 
     def close(self) -> None:
@@ -543,6 +553,19 @@ class BinlogDumpClient:
 #: spool schema: one row per blob of framed events
 SPOOL_COLUMNS = ("blob_id", "n_events", "first_event", "frames")
 
+_last_mtime = 0.0
+
+
+def _mono_mtime() -> float:
+    """A wall-clock mtime that is STRICTLY greater than any previously
+    handed out by this process (ties bumped by 1 ms) — so spool blobs
+    flushed within one FS timestamp tick still carry distinct,
+    arrival-ordered modification times."""
+    global _last_mtime
+    now = time.time()
+    _last_mtime = max(now, _last_mtime + 0.001)
+    return _last_mtime
+
 
 def spool_dump(
     events: Iterable[bytes],
@@ -558,9 +581,14 @@ def spool_dump(
     frames) where ``frames`` is the events re-framed by
     :func:`frame_payloads` — the exact input ``deframe_stream`` explodes,
     so the socket path and the oracle-checked file path share every
-    byte of downstream code.  Files are written tmp-then-rename so a
-    concurrent ``readStream`` never sees a partial blob.  Returns the
-    number of events spooled.  Blob size is the parallelism knob: at
+    byte of downstream code.  Files are written dot-prefixed-tmp then
+    renamed, so a concurrent ``readStream`` never lists a partial blob.
+    Blob ids RESUME after any blobs already present in ``spool_dir`` —
+    a fetcher reconnecting after a dropped dump appends instead of
+    overwriting files a tailer may have already consumed by name
+    (``first_event`` restarts per dump session; cross-session order is
+    carried by the monotone blob id).  Returns the number of events
+    spooled.  Blob size is the parallelism knob: at
     1000 executors you want thousands of small blobs per checkpoint
     interval, not one giant one.
 
@@ -579,7 +607,17 @@ def spool_dump(
     import pyarrow.parquet as pq
 
     os.makedirs(spool_dir, exist_ok=True)
-    blob_id, total, batch = 0, 0, []
+    # resume AFTER any blobs already spooled here: a reconnecting
+    # fetcher must never rename a new blob over one a tailer may have
+    # processed by name (the silent-loss path) — ids continue from the
+    # existing maximum
+    existing = [
+        int(f[5:13])
+        for f in os.listdir(spool_dir)
+        if f.startswith("blob-") and f.endswith(".parquet")
+        and f[5:13].isdigit()
+    ]
+    blob_id, total, batch = (max(existing) + 1 if existing else 0), 0, []
 
     def flush():
         nonlocal blob_id
@@ -594,8 +632,19 @@ def spool_dump(
             }
         )
         final = os.path.join(spool_dir, f"blob-{blob_id:08d}.parquet")
-        tmp = final + ".tmp"
+        # dot-prefixed so Spark's file listing skips the in-flight file
+        # (it only ignores '.'/'_' prefixes — 'x.tmp' would be READ by a
+        # concurrent scan and fail on the truncated footer)
+        tmp = os.path.join(spool_dir, f".blob-{blob_id:08d}.parquet.tmp")
         pq.write_table(tbl, tmp)
+        # strictly increasing mtimes: Spark's file stream orders new
+        # files by modification time, and blobs flushed back-to-back
+        # collide at FS timestamp granularity — the tie order is then
+        # listing-dependent and a restarted tailer can replay blobs out
+        # of order.  The engine survives reordering (tombstoned LWW),
+        # but the spool should present the true arrival order.
+        mt = _mono_mtime()
+        os.utime(tmp, (mt, mt))
         os.rename(tmp, final)
         blob_id += 1
         batch.clear()
@@ -663,7 +712,12 @@ class LoopbackMaster:
     complete socket path — TCP handshake → auth → dump → CRC-checked
     stream → spool → Spark — run and be oracle-checked without a server
     binary.  Events are caller-supplied opaque bytes; ``checksum=True``
-    appends the CRC32 tails a checksum-enabled master writes.
+    appends the CRC32 tails a checksum-enabled master writes.  When the
+    events are real binlog events, build them CONFORMANT — a genuine
+    master's header ``event_len`` counts the tail, so pass
+    ``encode_event(..., checksum_len=BINLOG_CHECKSUM_LEN)`` /
+    ``encode_envelope_as_binlog(..., checksum_len=4)`` for the events
+    this master will serve with ``checksum=True``.
     """
 
     SEED = bytes(range(19, 59, 2))  # fixed 20-byte auth seed

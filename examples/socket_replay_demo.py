@@ -24,6 +24,7 @@ from binlake_spark.functions.binlog_events import (  # noqa: E402
     XID_EVENT,
     binlog_rows_stream,
 )
+from binlake_spark.functions.framing import BINLOG_CHECKSUM_LEN  # noqa: E402
 from binlake_spark.operators.gtid import GTIDSet  # noqa: E402
 from binlake_spark.session import get_spark  # noqa: E402
 from binlake_spark.sources.binlog_bridge import (  # noqa: E402
@@ -50,7 +51,7 @@ def main() -> int:
             corrupt_frac=0.02, before_images=True,
         )
         pdf = generate_change_log(spec)
-        events = encode_envelope_as_binlog(pdf)
+        events = encode_envelope_as_binlog(pdf, checksum_len=BINLOG_CHECKSUM_LEN)
         print(f"change log: {len(pdf)} events → {len(events)} binlog events "
               f"({pdf['trx_id'].nunique()} transactions)")
 

@@ -18,6 +18,7 @@ from binlake_spark.functions.binlog_events import (
     binlog_rows_stream,
     parse_binlog_events,
 )
+from binlake_spark.functions.framing import BINLOG_CHECKSUM_LEN
 from binlake_spark.sources.binlog_bridge import (
     DOCS_WIRE_OVERLAY,
     encode_envelope_as_binlog,
@@ -69,8 +70,11 @@ def test_engine_replay_from_binlog_wire(spark, tmp_path, mode):
     ea = CdcEngine(ta, mode=mode)
     ea.run_batch_replay(spark, src)
 
-    # leg B: binlog bytes through the live socket transport
-    events = encode_envelope_as_binlog(pdf)
+    # leg B: binlog bytes through the live socket transport — CONFORMANT
+    # wire events: a real CRC32 master's event_len counts the checksum
+    # tail it appends, and the stripped events reaching the stream walk
+    # carry elen == len + 4 (decode_event_header's checksum_stripped)
+    events = encode_envelope_as_binlog(pdf, checksum_len=BINLOG_CHECKSUM_LEN)
     spool = str(tmp_path / "spool")
     with LoopbackMaster("u", "pw", events) as m:
         with BinlogDumpClient("127.0.0.1", m.port, "u", "pw", server_id=5) as c:
@@ -112,7 +116,7 @@ def test_streaming_wire_replay(spark, tmp_path):
         GenSpec(n_docs=40, n_events=400, events_per_epoch=100,
                 retransmit_frac=0.1, hot_keys=2, hot_frac=0.3)
     )
-    events = encode_envelope_as_binlog(pdf)
+    events = encode_envelope_as_binlog(pdf, checksum_len=BINLOG_CHECKSUM_LEN)
     spool = str(tmp_path / "spool")
     with LoopbackMaster("u", "pw", events) as m:
         with BinlogDumpClient("127.0.0.1", m.port, "u", "pw", server_id=5) as c:
@@ -155,3 +159,33 @@ def test_streaming_wire_replay(spark, tmp_path):
             source_df=spark.read.schema(CHANGE_LOG_SCHEMA).parquet(src),
             checkpoint_dir=str(tmp_path / "ck3"),
         )
+
+
+def test_seq_packing_overflow_fails_loudly(spark):
+    """An ordinal outside its bit budget must ABORT the replay — a
+    silent fold into the neighboring seq field would corrupt the LWW
+    winner order with no error (a real master can batch >4096 rows into
+    one ROWS event; the budget is now 2^20, guarded)."""
+    from binlake_spark.functions.binlog_decode import encode_row_images
+    from binlake_spark.sources.binlog_bridge import docs_wire_specs
+
+    specs = docs_wire_specs()
+    img = encode_row_images(
+        [{"doc_id": "d1", "payload": b"\x01\x00\x00\x00", "n_tok": 1,
+          "source": "s", "schema_ver": 1}],
+        specs,
+    )[0]
+
+    def changes(row_idx: int):
+        return spark.createDataFrame(
+            [("docs", 0, 0, row_idx, "I", 1700000000,
+              "e6954592-8dba-11e6-af0e-fa163e1cf111", 1, bytearray(img))],
+            "table string, blob_id long, evt_idx long, row_idx long,"
+            " op string, ts long, gtid_sid string, gno long, image binary",
+        )
+
+    ok = envelope_from_binlog_rows(changes(4097))  # legal under 2^20 now
+    assert ok.collect()[0]["seq"] == 4097 + 1
+    bad = envelope_from_binlog_rows(changes(1 << 20))
+    with pytest.raises(Exception, match="seq packing overflow"):
+        bad.collect()

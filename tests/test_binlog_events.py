@@ -139,9 +139,46 @@ def test_event_header_roundtrip_and_length_check():
                       next_pos=555, flags=1)
     h = decode_event_header(ev)
     assert h == {"ts": 1234, "type": XID_EVENT, "server_id": 7,
-                 "event_len": len(ev), "next_pos": 555, "flags": 1}
+                 "event_len": len(ev), "next_pos": 555, "flags": 1,
+                 "checksum_stripped": False}
     with pytest.raises(ValueError, match="declares"):
-        decode_event_header(ev + b"XX")  # e.g. an unstripped checksum tail
+        decode_event_header(ev + b"XX")  # +2: no legal form
+    with pytest.raises(ValueError, match="declares"):
+        decode_event_header(ev[:-1])  # truncated
+
+
+def test_event_header_conformant_checksum_master():
+    """A REAL CRC32 master's event_len counts the 4-byte tail it
+    appends (the loopback fixtures used to exclude it, masking a
+    live-master incompatibility): after validate-and-strip, the header
+    declares len+4 and must decode with checksum_stripped=True — the
+    LogDecoder.java:112-124 eventLen truncation expressed as
+    tolerance."""
+    from binlake_spark.functions.framing import (
+        BINLOG_CHECKSUM_LEN,
+        append_checksum,
+        _strip_checksum,
+    )
+
+    ev = encode_event(XID_EVENT, encode_xid_body(7), ts=99,
+                      checksum_len=BINLOG_CHECKSUM_LEN)
+    wire = append_checksum(ev)  # what the master puts on the socket
+    h_wire = struct_unpack_elen(wire)
+    assert h_wire == len(wire)  # conformant: elen covers the CRC tail
+    stripped = _strip_checksum(wire, "(test)")
+    h = decode_event_header(stripped)
+    assert h["checksum_stripped"] is True
+    assert h["event_len"] == len(stripped) + BINLOG_CHECKSUM_LEN
+    # and the full stream walk accepts the stripped conformant run
+    recs = list(parse_binlog_events([stripped]))
+    assert [r["kind"] for r in recs] == ["xid"]
+    assert recs[0]["xid"] == 7
+
+
+def struct_unpack_elen(ev: bytes) -> int:
+    import struct
+
+    return struct.unpack_from("<I", ev, 9)[0]
 
 
 def test_table_map_metadata_all_kinds():
@@ -171,6 +208,26 @@ def test_table_map_metadata_all_kinds():
     assert by["c15"].meta == (1,) and by["c16"].meta == (2,)
     with pytest.raises(ValueError, match="unsupported wire type"):
         decode_table_map(encode_table_map(1, "d", "t", [(6, ())]))  # NULL type
+
+
+def test_table_map_overlay_registry_lookup():
+    """The keyed overlay form: the registry is resolved under the
+    (db, table) the body itself names, inside the single walk — no
+    caller re-parse of the name fields."""
+    body = encode_table_map(5, "shop", "docs", [(_T["TINY"], ())])
+    reg = {("shop", "docs"): [{"name": "flag", "unsigned": True}],
+           ("shop", "other"): [{"name": "WRONG"}]}
+    tid, db, tbl, specs = decode_table_map(body, overlay_registry=reg)
+    assert (tid, db, tbl) == (5, "shop", "docs")
+    assert specs[0].name == "flag" and specs[0].kind == "uint8"
+    # unknown table → generic labels, not an error
+    _, _, _, bare = decode_table_map(
+        encode_table_map(6, "shop", "users", [(_T["TINY"], ())]),
+        overlay_registry=reg,
+    )
+    assert bare[0].name == "c0" and bare[0].kind == "int8"
+    with pytest.raises(ValueError, match="not both"):
+        decode_table_map(body, overlay=[{}], overlay_registry=reg)
 
 
 def test_unsigned_overlay_rules():

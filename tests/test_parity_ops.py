@@ -297,6 +297,14 @@ def test_regex_list_filter_longest_first_anchoring(spark):
     # case-insensitive via lowercased target (filter :66-68)
     up = spark.createDataFrame([("FOO",)], "tbl string")
     assert filter_regex_list(up, "foo", "tbl").count() == 1
+    # ...and BOTH sides fold: an uppercase literal in the PATTERN must
+    # match too (one-sided lowering silently dropped every row)
+    assert regex_list_pattern("Orders.*") == "^orders.*$"
+    mixed = spark.createDataFrame(
+        [("Orders",), ("ORDERS_2024",), ("other",)], "tbl string"
+    )
+    kept = [r.tbl for r in filter_regex_list(mixed, "Orders.*", "tbl").collect()]
+    assert sorted(kept) == ["ORDERS_2024", "Orders"]
 
 
 def test_simple_list_filter(spark):

@@ -80,10 +80,12 @@ class FakeMysqld(socketserver.ThreadingTCPServer):
     allow_reuse_address = True
     daemon_threads = True
 
-    def __init__(self, checksum: bool = True, corrupt_event: int | None = None):
+    def __init__(self, checksum: bool = True, corrupt_event: int | None = None,
+                 fail_queries: bool = False):
         super().__init__(("127.0.0.1", 0), _Handler)
         self.checksum = checksum
         self.corrupt_event = corrupt_event
+        self.fail_queries = fail_queries
         # what a real server stores in mysql.user: the DOUBLE sha1
         self.stored_hash2 = hashlib.sha1(
             hashlib.sha1(PASSWORD.encode()).digest()
@@ -158,7 +160,15 @@ class _Handler(socketserver.BaseRequestHandler):
                 return
             if cmd[0] == 0x03:  # COM_QUERY
                 srv.seen_queries.append(cmd[1:].decode())
-                _send_packet(sock, b"\x00\x00\x00\x02\x00\x00\x00", 1)
+                if srv.fail_queries:  # e.g. restricted replica user
+                    _send_packet(
+                        sock,
+                        b"\xff" + struct.pack("<H", 1227)
+                        + b"#42000Access denied; you need SUPER",
+                        1,
+                    )
+                else:
+                    _send_packet(sock, b"\x00\x00\x00\x02\x00\x00\x00", 1)
             elif cmd[0] == 0x15:  # COM_REGISTER_SLAVE
                 srv.registered = True
                 _send_packet(sock, b"\x00\x00\x00\x02\x00\x00\x00", 1)
@@ -236,6 +246,19 @@ def test_handshake_auth_and_checksum_announce():
         assert c.handshake.seed == SEED
         assert c.handshake.auth_plugin == "mysql_native_password"
         assert srv.seen_queries == ["SET @master_binlog_checksum = 'CRC32'"]
+
+
+def test_checksum_announce_failure_closes_socket():
+    """The checksum SET runs after auth, outside the handshake guard —
+    its failure escapes __enter__, so __exit__ never runs and the
+    connected socket must be closed by connect() itself (a dangling
+    replica connection per retry would pile up under the resume loop)."""
+    with FakeMysqld(fail_queries=True) as srv:
+        c = _client(srv)
+        with pytest.raises(MySQLError) as ei:
+            c.connect()
+        assert ei.value.code == 1227
+        assert c._sock is None  # closed, not leaked
 
 
 def test_wrong_password_is_err_1045():
@@ -385,6 +408,31 @@ def test_loopback_master_auth_and_dump():
     good = scramble_native_password("pw", LoopbackMaster.SEED)
     assert verify_native_password(good, LoopbackMaster.SEED, h2)
     assert not verify_native_password(good[:-1] + b"\x00", LoopbackMaster.SEED, h2)
+
+
+def test_spool_resumes_blob_ids_after_reconnect(tmp_path):
+    """A fetcher re-spooling into the same directory after a dropped
+    dump must APPEND — restarting blob ids at 0 would rename new blobs
+    over files a tailer already consumed by name (silent event loss)."""
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "spool")
+    first = [b"first-%d" % i for i in range(5)]
+    second = [b"second-%d" % i for i in range(3)]
+    spool_dump(iter(first), d, events_per_blob=2)   # blobs 0,1,2
+    spool_dump(iter(second), d, events_per_blob=2)  # must continue at 3
+    names = sorted(os.listdir(d))
+    assert names == [f"blob-{i:08d}.parquet" for i in range(5)]
+    # the pre-existing blobs are untouched and the new ones carry the
+    # reconnect's events in order
+    got = []
+    for f in names:
+        t = pq.read_table(f"{d}/{f}")
+        got.extend(split_packets(t["frames"][0].as_py()))
+    assert got == first + second
+    # in-flight files are dot-prefixed so a concurrent Spark listing
+    # skips them; after the run no tmp residue remains
+    assert not [f for f in os.listdir(d) if f.endswith(".tmp")]
 
 
 def test_spool_flush_after_and_size_backstop(tmp_path):
