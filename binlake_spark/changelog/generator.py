@@ -230,12 +230,24 @@ def write_change_log(
     Small row groups matter: Spark's scan parallelism splits files at
     row-group boundaries (spark.sql.files.maxPartitionBytes), so a single
     monolithic row group would serialize the scan + map-side combine of a
-    whole epoch onto one task regardless of cluster size."""
+    whole epoch onto one task regardless of cluster size.
+
+    Each file gets a STRICTLY INCREASING mtime (1 s apart, like a real
+    spool filling over time): Spark's file stream orders new files by
+    modification time, and files written back-to-back routinely collide
+    at the FS timestamp granularity — the tie order is then
+    listing-dependent, and a resume can hand epochs to the engine out of
+    order.  The engine survives that (delete tombstones + per-row LWW),
+    but the fixture should still present the order a live source would."""
     os.makedirs(out_dir, exist_ok=True)
     paths = []
+    base_mtime = None
     for ep, grp in pdf.groupby("epoch_hint", sort=True):
         tbl = pa.Table.from_pandas(grp.reset_index(drop=True), schema=_ARROW_SCHEMA)
         p = os.path.join(out_dir, f"epoch-{int(ep):05d}.parquet")
         pq.write_table(tbl, p, row_group_size=row_group_size)
+        if base_mtime is None:
+            base_mtime = os.stat(p).st_mtime
+        os.utime(p, (base_mtime + int(ep), base_mtime + int(ep)))
         paths.append(p)
     return paths

@@ -10,6 +10,7 @@ from binlake_spark.lake.merge import (
     compact_buckets,
     merge_into,
     merge_into_mor,
+    purge_tombstones,
     rebucket,
 )
 
@@ -23,6 +24,7 @@ __all__ = [
     "compact_buckets",
     "merge_into",
     "merge_into_mor",
+    "purge_tombstones",
     "rebucket",
     "token_vocab_drift",
 ]

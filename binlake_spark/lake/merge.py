@@ -202,8 +202,19 @@ def merge_into(
             )
 
         # -- 3. merge body: one job over dirty buckets only --------------- #
+        # Tombstones ride along: `current` includes prior delete
+        # tombstones (they fence stale upserts exactly like live rows —
+        # without them a delete leaves NOTHING to out-sequence an older
+        # upsert delivered later, e.g. when two source files with
+        # colliding mtimes list in either order after a resume, and the
+        # doc silently resurrects), and an applied delete is WRITTEN as
+        # a `_tombstone=true` row instead of vanishing.  User-facing
+        # reads filter them; `purge_tombstones` reclaims them once the
+        # source can no longer deliver older seqs.
         schema = T.StructType.fromJson(snap["schema"])
-        current = table.read(spark, buckets=dirty, with_seq=True)
+        current = table.read(
+            spark, buckets=dirty, with_seq=True, with_tombstones=True
+        )
         cur_seq = F.coalesce(F.col("_seq"), F.lit(-1))
         net_small = net.select(key, F.col(seq_col).alias("_in_seq"))
 
@@ -230,15 +241,24 @@ def merge_into(
             F.sum((F.col(op_col) != "D").cast("long")).alias("n_upserts"),
             F.sum((F.col(op_col) == "D").cast("long")).alias("n_deletes"),
         )
-        upserts = applied.filter(F.col(op_col) != "D")
-        aligned = upserts.select(
+        is_del = F.col(op_col) == "D"
+        aligned = applied.select(
             *[
-                F.col(f.name).cast(f.dataType).alias(f.name)
-                if f.name in upserts.columns
-                else F.lit(None).cast(f.dataType).alias(f.name)
+                # data columns: NULL on tombstones (the key + _seq are the
+                # whole fence; carrying a deleted doc's payload would
+                # bloat the bucket for nothing)
+                F.when(is_del, F.lit(None)).otherwise(F.col(f.name))
+                .cast(f.dataType).alias(f.name)
+                if f.name in applied.columns and f.name != key
+                else (
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    if f.name in applied.columns
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                )
                 for f in schema.fields
             ],
             F.col(seq_col).cast("long").alias("_seq"),
+            is_del.alias("_tombstone"),
         )
         merged = survivors.unionByName(aligned).withColumn(
             "_b", F.pmod(F.hash(F.col(key)), F.lit(num_buckets)).cast("int")
@@ -528,7 +548,13 @@ def compact_buckets(
     )
     if not todo:
         return {"compacted_buckets": 0, "version": snap["version"]}
-    resolved = table.read(spark, buckets=todo, with_seq=True).withColumn(
+    # delete winners fold into the base AS TOMBSTONES — dropping them
+    # here would let a stale upsert from a reordered/replayed batch
+    # resurrect the doc right after compaction (reads filter them;
+    # purge_tombstones reclaims them under an explicit horizon)
+    resolved = table.read(
+        spark, buckets=todo, with_seq=True, with_tombstones=True
+    ).withColumn(
         "_b",
         F.pmod(F.hash(F.col(snap["key_col"])), F.lit(snap["num_buckets"])).cast("int"),
     )
@@ -558,6 +584,75 @@ def compact_buckets(
     )
     table._write_snapshot(snap)
     return {"compacted_buckets": len(todo), "version": version}
+
+
+def purge_tombstones(
+    spark: SparkSession,
+    table: LakeTable,
+    horizon_seq: int,
+) -> dict:
+    """Reclaim delete tombstones with ``_seq <= horizon_seq`` (the
+    retention half of tombstone-backed deletes — Kafka compaction's
+    ``delete.retention.ms`` / Iceberg's delete-file expiry analog).
+
+    A tombstone exists to out-sequence a STALE upsert that might still
+    arrive (reordered spool files, a replayed prefix, a retransmitting
+    source).  Once the operator can bound that horizon — e.g. the
+    source's committed low watermark, or "no replay reaches below seq X
+    after a checkpoint expiry" — tombstones at or below it are dead
+    weight and are rewritten away here, bucket by bucket, in one atomic
+    snapshot.  Choosing the horizon is deliberately the CALLER's
+    judgment: the table cannot know what an external source may still
+    deliver.  MOR tables: run :func:`compact_buckets` first so delta
+    tombstones have folded into the base (delta files are left
+    untouched here).
+
+    Scale: one metadata-light filter scan to find affected buckets,
+    then a rewrite of only those buckets.
+    """
+    snap = table.snapshot()
+    key = snap["key_col"]
+    num_buckets = int(snap["num_buckets"])
+    base = table.read(spark, with_seq=True, with_tombstones=True).withColumn(
+        "_b", F.pmod(F.hash(F.col(key)), F.lit(num_buckets)).cast("int")
+    )
+    dead = F.col("_tombstone") & (F.col("_seq") <= int(horizon_seq))
+    todo = sorted(
+        r["_b"]
+        for r in base.filter(dead).select("_b").distinct().collect()
+    )
+    if not todo:
+        return {"purged_buckets": 0, "version": int(snap["version"])}
+    version = int(snap["version"]) + 1
+    out_rel = os.path.join("data", f"c{version}")
+    out_dir = os.path.join(table.root, out_rel)
+    (
+        base.filter(F.col("_b").isin([int(b) for b in todo]) & ~dead)
+        .repartition(max(1, len(todo)), "_b")
+        .write.mode("overwrite")
+        .partitionBy("_b")
+        .parquet(out_dir)
+    )
+    files = {int(b): fl for b, fl in snap["files"].items()}
+    for b in todo:
+        paths = sorted(glob.glob(os.path.join(out_dir, f"_b={b}", "*.parquet")))
+        rel = [os.path.relpath(p, table.root) for p in paths]
+        if rel:
+            files[int(b)] = rel
+        else:
+            files.pop(int(b), None)  # bucket held only purged tombstones
+    snap["version"] = version
+    snap["files"] = {str(b): fl for b, fl in sorted(files.items())}
+    snap["lineage"].append(
+        {
+            "kind": "purge_tombstones",
+            "version": version,
+            "buckets": [int(b) for b in todo],
+            "horizon_seq": int(horizon_seq),
+        }
+    )
+    table._write_snapshot(snap)
+    return {"purged_buckets": len(todo), "version": version}
 
 
 def rebucket(
@@ -593,7 +688,9 @@ def rebucket(
     out_rel = os.path.join("data", f"c{version}")
     out_dir = os.path.join(table.root, out_rel)
     (
-        table.read(spark, with_seq=True)
+        # tombstones migrate to their new buckets with everything else —
+        # the per-key fence must survive the layout change
+        table.read(spark, with_seq=True, with_tombstones=True)
         .withColumn(
             "_b", F.pmod(F.hash(F.col(key)), F.lit(int(new_num_buckets))).cast("int")
         )

@@ -249,6 +249,7 @@ class LakeTable:
         buckets: list[int] | None = None,
         with_seq: bool = False,
         version: int | None = None,
+        with_tombstones: bool = False,
     ) -> DataFrame:
         """Read the current snapshot, pruned to ``buckets`` if given.
 
@@ -265,12 +266,24 @@ class LakeTable:
         here — base ∪ deltas reduced to the max-``_seq`` row per key with
         tombstones dropped (one LWW aggregation over just those buckets).
         Buckets without deltas take the zero-overhead base-only path.
-        """
+
+        ``with_tombstones`` (internal, implies ``with_seq`` use sites):
+        exposes DELETE TOMBSTONE rows (``_tombstone=true``; data columns
+        NULL-ish) instead of filtering them.  Tombstones are what make
+        LWW total under batch REORDERING: a delete that merely removed
+        its row would leave nothing to out-sequence a stale upsert
+        arriving later (e.g. two spool files with colliding mtimes
+        listed in either order after a resume), silently resurrecting
+        the doc.  The MERGE/compaction paths read with tombstones;
+        every user-facing read filters them.  Files written before this
+        column existed read as NULL → treated as live rows."""
         snap = self.snapshot(version)
         key = snap["key_col"]
         schema = T.StructType.fromJson(snap["schema"])
-        read_schema = schema.add(T.StructField("_seq", T.LongType(), True))
-        out_schema = read_schema if with_seq else schema
+        read_schema = (
+            schema.add(T.StructField("_seq", T.LongType(), True))
+            .add(T.StructField("_tombstone", T.BooleanType(), True))
+        )
 
         def _paths(mapping) -> list[str]:
             out = []
@@ -291,7 +304,13 @@ class LakeTable:
             {b: fl for b, fl in snap["files"].items() if int(b) in delta_buckets}
         )
 
+        ts = F.coalesce(F.col("_tombstone"), F.lit(False))
+
         def _finish(df: DataFrame) -> DataFrame:
+            if with_tombstones:
+                df = df.withColumn("_tombstone", ts)
+            else:
+                df = df.filter(~ts).drop("_tombstone")
             return df if with_seq else df.drop("_seq")
 
         clean = (
@@ -304,11 +323,15 @@ class LakeTable:
 
         mor_schema = read_schema.add(T.StructField("_op", T.StringType(), True))
         deltas = spark.read.schema(mor_schema).parquet(*delta_files)
+        # base rows participate in read-time LWW under their STORED
+        # liveness — a base tombstone (written by a tombstone-retaining
+        # compaction) must keep out-sequencing stale upserts, not flip
+        # back to a live row
         dirty_base = (
             spark.read.schema(read_schema).parquet(*base_dirty)
             if base_dirty
             else spark.createDataFrame([], read_schema)
-        ).withColumn("_op", F.lit("U"))
+        ).withColumn("_op", F.when(ts, F.lit("D")).otherwise(F.lit("U")))
         packed = F.struct(
             *[F.col(f.name) for f in mor_schema.fields if f.name != key]
         ).alias("_p")
@@ -317,9 +340,12 @@ class LakeTable:
             .groupBy(key)
             .agg(F.max_by(packed, F.col("_seq")).alias("_p"))
             .select(key, "_p.*")
-            .filter(F.col("_op") != "D")
-            .drop("_op")
         )
+        # a delete winner IS the tombstone: normalize the MOR _op into
+        # the stored-column form so _finish treats both sources alike
+        resolved = resolved.withColumn(
+            "_tombstone", ts | (F.col("_op") == "D")
+        ).drop("_op")
         return _finish(clean.unionByName(resolved))
 
     def lookup(

@@ -406,11 +406,24 @@ def test_feed_replication_lake_to_lake(spark, tmp_path):
 
 
 def test_feed_replication_survives_seq_regression(spark, tmp_path):
-    """A key whose winning seq REGRESSES at the source (delete, then a
-    fresh lower-seq insert admitted with the fence off) must still
+    """A key whose winning seq REGRESSES at the source must still
     replicate: poll_for_merge re-stamps the regressed-U at the window
-    watermark so strict LWW at the destination cannot drop it."""
-    from binlake_spark.lake import ChangeFeedReader, LakeTable, merge_into
+    watermark so strict LWW at the destination cannot drop it.
+
+    Constructing the regression now takes one more step than it used
+    to: a delete leaves a TOMBSTONE, so a fresh lower-seq insert loses
+    LWW against it (uniform with how a live row at seq 150 would fence
+    it — the pre-tombstone admit was an inconsistency of vanished
+    rows, fixed with the reordering bug).  After the operator PURGES
+    tombstones at/below the delete's seq, the lower-seq insert is
+    admissible again and the winning image regresses — the feed path
+    this test pins."""
+    from binlake_spark.lake import (
+        ChangeFeedReader,
+        LakeTable,
+        merge_into,
+        purge_tombstones,
+    )
 
     from binlake_spark.streaming.engine import DOCS_SCHEMA
 
@@ -430,9 +443,11 @@ def test_feed_replication_survives_seq_regression(spark, tmp_path):
     merge_into(spark, src, net([("a", 100, "I", [1, 2], 2, "web")]), epoch_id=0)
     assert reader.apply_to(spark, dst).applied
 
-    # source: delete at 150, then a FRESH lower-seq insert at 60 (legal —
-    # the retransmit fence is opt-in); the key's winning seq regresses
+    # source: delete at 150; purge its tombstone (operator-bounded
+    # horizon); then a FRESH lower-seq insert at 60 is admissible again
+    # (the retransmit fence is opt-in) — the key's winning seq regresses
     merge_into(spark, src, net([("a", 150, "D", None, None, None)]), epoch_id=1)
+    purge_tombstones(spark, src, horizon_seq=150)
     merge_into(spark, src, net([("a", 60, "I", [9], 1, "books")]), epoch_id=2)
 
     assert reader.apply_to(spark, dst).applied

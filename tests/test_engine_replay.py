@@ -390,3 +390,142 @@ def test_snapshot_bootstrap_full_replay_converges_via_fence(spark, tmp_path):
     )
     engine.run_batch_replay(spark, src)  # full log, no position
     assert_state_equals_oracle(spark, engine, pdf)
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_out_of_order_epoch_batches_keep_deletes(spark, tmp_path, mode):
+    """Exactly-once under batch REORDERING: pairwise-swapped epoch files
+    applied as sequential epochs must still land the oracle state.
+
+    This is the flake the replay demo exposed (~1/16 runs): Spark's file
+    stream orders new files by mtime, ties resolve by listing order, and
+    a resume handed file k+1's batch to the engine before file k's.  LWW
+    absorbs reordered UPSERTS, but a delete that merely removed its row
+    left nothing to out-sequence file k's stale upsert — the doc
+    silently resurrected (285 vs 282 live docs).  Delete TOMBSTONES
+    (lake/merge.py, lake/table.py `_tombstone`) make LWW total; this
+    test replays every adjacent epoch pair in the wrong order, in both
+    engine modes, with a mid-sequence compaction on MOR so tombstones
+    also survive the delta→base fold."""
+    from binlake_spark.changelog.generator import CHANGE_LOG_SCHEMA
+    from binlake_spark.lake.merge import compact_buckets
+
+    spec = GenSpec(n_docs=40, n_events=1600, events_per_epoch=200,
+                   retransmit_frac=0.1)
+    pdf = generate_change_log(spec)
+    # the scenario only bites if docs deleted in epoch 2k+1 have an
+    # earlier upsert in epoch 2k — assert the fixture actually carries it
+    last = pdf.sort_values("seq").groupby("doc_id").tail(1)
+    dels = last[last.op == "D"]
+    vulnerable = 0
+    for _, d in dels.iterrows():
+        pre = pdf[(pdf.doc_id == d.doc_id) & (pdf.seq < d.seq)
+                  & (pdf.epoch_hint == d.epoch_hint - 1)]
+        if d.epoch_hint % 2 == 1 and len(pre):
+            vulnerable += 1
+    assert vulnerable > 0, "fixture lost its delete-after-upsert pairs"
+
+    src = str(tmp_path / "log")
+    files = sorted(write_change_log(pdf, src))
+    order = []
+    for i in range(0, len(files) - 1, 2):
+        order += [i + 1, i]  # every adjacent pair applied wrong-way
+    if len(files) % 2:
+        order.append(len(files) - 1)
+
+    table = CdcEngine.create_table(str(tmp_path / "docs"), num_buckets=8)
+    engine = CdcEngine(table) if mode == "cow" else CdcEngine(
+        table, mode="mor"
+    )
+    for eid, fidx in enumerate(order):
+        df = spark.read.schema(CHANGE_LOG_SCHEMA).parquet(files[fidx])
+        res = engine.apply_batch(df, epoch_id=eid)
+        assert res.applied
+        if mode == "mor" and eid == len(order) // 2:
+            compact_buckets(spark, engine.table)  # tombstones must survive
+    if mode == "mor":
+        compact_buckets(spark, engine.table)
+    assert_state_equals_oracle(spark, engine, pdf)
+
+
+def test_purge_tombstones_reclaims_below_horizon(spark, tmp_path):
+    """Tombstone retention: purge drops only tombstones at/below the
+    caller's horizon, never live rows; the logical table is unchanged."""
+    from pyspark.sql import functions as F
+
+    from binlake_spark.changelog.generator import CHANGE_LOG_SCHEMA
+    from binlake_spark.lake.merge import purge_tombstones
+
+    pdf = generate_change_log(GenSpec(n_docs=30, n_events=900))
+    src = str(tmp_path / "log")
+    write_change_log(pdf, src)
+    table = CdcEngine.create_table(str(tmp_path / "docs"), num_buckets=4)
+    engine = CdcEngine(table)
+    engine.run_batch_replay(spark, src)
+
+    live_before = engine.read_state(spark).count()
+    raw = table.read(spark, with_seq=True, with_tombstones=True)
+    n_tomb = raw.filter(F.col("_tombstone")).count()
+    assert n_tomb > 0  # the generator deletes docs
+    max_seq = int(pdf["seq"].max())
+
+    out = purge_tombstones(spark, table, horizon_seq=max_seq)
+    assert out["purged_buckets"] > 0
+    raw2 = table.read(spark, with_seq=True, with_tombstones=True)
+    assert raw2.filter(F.col("_tombstone")).count() == 0
+    assert engine.read_state(spark).count() == live_before
+    # idempotent / no-op when nothing qualifies
+    out2 = purge_tombstones(spark, table, horizon_seq=max_seq)
+    assert out2["purged_buckets"] == 0
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_delete_tombstone_fences_stale_upsert(spark, tmp_path, mode):
+    """The distilled resurrection case (red pre-tombstones, bit-exact
+    repro of the demo flake): epoch 0 applies the LATER batch (insert
+    doc-b seq3, DELETE doc-a seq4), epoch 1 applies the EARLIER one
+    (stale insert doc-a seq1).  Without a tombstone the delete leaves no
+    row to out-sequence seq1 and doc-a comes back from the dead; with
+    it, the stale upsert loses the LWW comparison against the tombstone
+    row.  MOR additionally compacts between the two epochs so the
+    tombstone must survive the delta→base fold."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from binlake_spark.changelog.generator import CHANGE_LOG_SCHEMA
+    from binlake_spark.lake.merge import compact_buckets
+
+    def ev(seq, op, doc, toks):
+        payload = b"".join(int(t).to_bytes(4, "little") for t in toks)
+        return Row(seq=seq, server_uuid="u", gno=seq, trx_id=seq,
+                   ts=datetime.datetime(2026, 1, 1), op=op, doc_id=doc,
+                   tokens=None, n_tok=len(toks), source="s",
+                   payload=bytearray(payload), before_payload=None,
+                   schema_ver=1, extra=None, epoch_hint=0)
+
+    table = CdcEngine.create_table(str(tmp_path / "docs"), num_buckets=2)
+    engine = CdcEngine(table) if mode == "cow" else CdcEngine(table, mode="mor")
+    engine.apply_batch(
+        spark.createDataFrame(
+            [ev(3, "I", "doc-b", [7]), ev(4, "D", "doc-a", [])],
+            CHANGE_LOG_SCHEMA,
+        ),
+        epoch_id=0,
+    )
+    if mode == "mor":
+        compact_buckets(spark, engine.table)  # tombstone now lives in base
+    engine.apply_batch(
+        spark.createDataFrame([ev(1, "I", "doc-a", [5])], CHANGE_LOG_SCHEMA),
+        epoch_id=1,
+    )
+    if mode == "mor":
+        compact_buckets(spark, engine.table)
+    live = sorted(r.doc_id for r in engine.read_state(spark).collect())
+    assert live == ["doc-b"], f"doc-a resurrected: {live}"
+    # the tombstone is physically present and carries the delete's seq
+    from pyspark.sql import functions as F
+
+    raw = table.read(spark, with_seq=True, with_tombstones=True)
+    tomb = raw.filter(F.col("_tombstone")).collect()
+    assert [(t.doc_id, t._seq) for t in tomb] == [("doc-a", 4)]

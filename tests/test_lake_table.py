@@ -125,7 +125,11 @@ def test_lineage_records_per_bucket(spark, tmp_path):
     assert sum(r.n_deletes for r in lin) == 1
     assert all(r.stream_id == "s1" and r.epoch_id == 0 for r in lin)
     offs = t.bucket_offsets_df(spark).collect()
-    assert sum(r.n_rows for r in offs) == 1  # "a" survives, "b" deleted
+    # physical rows: "a" live + "b"'s delete TOMBSTONE (the seq fence
+    # that keeps a reordered stale upsert from resurrecting "b");
+    # logically only "a" is visible
+    assert sum(r.n_rows for r in offs) == 2
+    assert [r.doc_id for r in t.read(spark).collect()] == ["a"]
     # non-empty buckets carry footer stats; fully-deleted buckets are -1
     assert all(r.max_seq >= 1 for r in offs if r.n_rows > 0)
     # the watermark fence advanced each touched bucket by ITS OWN max

@@ -84,14 +84,22 @@ def test_lineage_covers_all_epochs(spark, tmp_path):
         assert r.n_events == r.n_upserts + r.n_deletes
     live = engine.read_state(spark).count()
     assert sum(r.n_upserts for r in rows) >= live
-    # bucket offsets: final per-bucket rows sum to the live count
+    # bucket offsets: final per-bucket PHYSICAL rows = live rows plus the
+    # delete tombstones currently fencing stale replays (read() hides
+    # them; purge_tombstones reclaims them under an explicit horizon)
     offs = table.bucket_offsets_df(spark)
     last_per_bucket = (
         offs.groupBy("partition_id")
         .agg(F.max_by("n_rows", "epoch_id").alias("final_rows"))
         .collect()
     )
-    assert sum(r.final_rows for r in last_per_bucket) == live
+    n_tomb = (
+        table.read(spark, with_seq=True, with_tombstones=True)
+        .filter(F.col("_tombstone"))
+        .count()
+    )
+    assert n_tomb > 0  # the generator deletes docs
+    assert sum(r.final_rows for r in last_per_bucket) == live + n_tomb
 
 
 def test_stateful_dedup_by_seq(spark, tmp_path):
