@@ -28,6 +28,7 @@ output.  No external data.
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass
 
 import numpy as np
@@ -238,16 +239,19 @@ def write_change_log(
     at the FS timestamp granularity — the tie order is then
     listing-dependent, and a resume can hand epochs to the engine out of
     order.  The engine survives that (delete tombstones + per-row LWW),
-    but the fixture should still present the order a live source would."""
+    but the fixture should still present the order a live source would.
+    Stamps are BACKDATED (last file ≈ now, earlier files in the past) so
+    no file ever carries a future mtime — a later write into the same
+    directory must always sort after these."""
     os.makedirs(out_dir, exist_ok=True)
+    groups = list(pdf.groupby("epoch_hint", sort=True))
     paths = []
-    base_mtime = None
-    for ep, grp in pdf.groupby("epoch_hint", sort=True):
+    now = time.time()
+    for i, (ep, grp) in enumerate(groups):
         tbl = pa.Table.from_pandas(grp.reset_index(drop=True), schema=_ARROW_SCHEMA)
         p = os.path.join(out_dir, f"epoch-{int(ep):05d}.parquet")
         pq.write_table(tbl, p, row_group_size=row_group_size)
-        if base_mtime is None:
-            base_mtime = os.stat(p).st_mtime
-        os.utime(p, (base_mtime + int(ep), base_mtime + int(ep)))
+        mt = now - (len(groups) - 1 - i)
+        os.utime(p, (mt, mt))
         paths.append(p)
     return paths

@@ -34,13 +34,18 @@ Exactly-once / duplicate handling is layered:
    out-of-order event with a seq below another doc's watermark would be
    wrongly fenced.
 
-Tombstone contract: deletes drop the row *and* its version; a later
-replay is safe because failover replays are **suffix replays** (resume
-from a committed position, the only failure mode of the reference and of
-Structured Streaming checkpoints) and per-epoch compaction re-picks the
-same-or-newer winner from the suffix.  Arbitrary replay of ancient
-individual events would need tombstone retention (Iceberg
-equality-delete retention analog) — out of contract, as in the reference.
+Tombstone contract: an applied delete WRITES a ``_tombstone=true`` row
+(key + ``_seq``, data columns NULL) rather than merely dropping the row
+— the row's version must keep existing so layer 2's LWW compare stays
+TOTAL.  Suffix replays alone are not the only reordering in practice:
+Spark's file source orders new files by modification time, ties resolve
+by listing order, and after a resume the engine can legitimately
+receive epoch k+1's batch before epoch k's; a vanished delete would let
+epoch k's stale upsert resurrect the doc (observed ~1/16 demo runs
+before this contract).  Tombstones are invisible to every user-facing
+read and are reclaimed by :func:`purge_tombstones` once the operator
+can bound the redelivery horizon (Iceberg equality-delete retention /
+Kafka ``delete.retention.ms`` analog).
 
 Physical execution — ONE Spark job per merge plus metadata-only work,
 the shape that survives 100×:
@@ -242,21 +247,18 @@ def merge_into(
             F.sum((F.col(op_col) == "D").cast("long")).alias("n_deletes"),
         )
         is_del = F.col(op_col) == "D"
+
+        def _aligned_col(f):
+            src = F.col(f.name) if f.name in applied.columns else F.lit(None)
+            if f.name != key:
+                # data columns: NULL on tombstones (the key + _seq are
+                # the whole fence; carrying a deleted doc's payload
+                # would bloat the bucket for nothing)
+                src = F.when(is_del, F.lit(None)).otherwise(src)
+            return src.cast(f.dataType).alias(f.name)
+
         aligned = applied.select(
-            *[
-                # data columns: NULL on tombstones (the key + _seq are the
-                # whole fence; carrying a deleted doc's payload would
-                # bloat the bucket for nothing)
-                F.when(is_del, F.lit(None)).otherwise(F.col(f.name))
-                .cast(f.dataType).alias(f.name)
-                if f.name in applied.columns and f.name != key
-                else (
-                    F.col(f.name).cast(f.dataType).alias(f.name)
-                    if f.name in applied.columns
-                    else F.lit(None).cast(f.dataType).alias(f.name)
-                )
-                for f in schema.fields
-            ],
+            *[_aligned_col(f) for f in schema.fields],
             F.col(seq_col).cast("long").alias("_seq"),
             is_del.alias("_tombstone"),
         )
@@ -538,9 +540,12 @@ def compact_buckets(
     """Fold merge-on-read deltas into the base (the maintenance half of
     MOR — Iceberg's ``rewrite_data_files`` analog): buckets carrying at
     least ``min_deltas`` delta files are LWW-resolved (base ∪ deltas,
-    max ``_seq`` per key, tombstones dropped) and rewritten; their delta
-    list empties in the same atomic snapshot.  Amortized cost equals what
-    COW would have paid spread over the delta window.
+    max ``_seq`` per key, delete winners RETAINED as base ``_tombstone``
+    rows — dropping them would let a reordered stale upsert resurrect
+    the doc one compaction later) and rewritten; their delta list
+    empties in the same atomic snapshot.  Amortized cost equals what COW
+    would have paid spread over the delta window; tombstone rows are
+    reclaimed separately by :func:`purge_tombstones`.
     """
     snap = table.snapshot()
     todo = sorted(
@@ -567,10 +572,7 @@ def compact_buckets(
 
     files = {int(b): fl for b, fl in snap["files"].items()}
     deltas = {int(b): fl for b, fl in snap.get("deltas", {}).items()}
-    for b in todo:
-        bucket_dir = os.path.join(out_dir, f"_b={b}")
-        paths = sorted(glob.glob(os.path.join(bucket_dir, "*.parquet")))
-        rel = [os.path.relpath(p, table.root) for p in paths]
+    for b, rel in _written_bucket_files(table, out_dir, todo).items():
         if rel:
             files[b] = rel
         else:
@@ -584,6 +586,20 @@ def compact_buckets(
     )
     table._write_snapshot(snap)
     return {"compacted_buckets": len(todo), "version": version}
+
+
+def _written_bucket_files(
+    table: LakeTable, out_dir: str, buckets: list[int]
+) -> dict[int, list[str]]:
+    """Post-write manifest collection shared by the rewrite ops
+    (merge/compact/rebucket/purge all commit this way): the
+    root-relative parquet paths under ``out_dir/_b=<b>`` for each
+    bucket, empty list when the rewrite left the bucket with no rows."""
+    out: dict[int, list[str]] = {}
+    for b in buckets:
+        paths = sorted(glob.glob(os.path.join(out_dir, f"_b={b}", "*.parquet")))
+        out[int(b)] = [os.path.relpath(p, table.root) for p in paths]
+    return out
 
 
 def purge_tombstones(
@@ -600,47 +616,63 @@ def purge_tombstones(
     source).  Once the operator can bound that horizon — e.g. the
     source's committed low watermark, or "no replay reaches below seq X
     after a checkpoint expiry" — tombstones at or below it are dead
-    weight and are rewritten away here, bucket by bucket, in one atomic
-    snapshot.  Choosing the horizon is deliberately the CALLER's
-    judgment: the table cannot know what an external source may still
-    deliver.  MOR tables: run :func:`compact_buckets` first so delta
-    tombstones have folded into the base (delta files are left
-    untouched here).
+    weight and are rewritten away here in one atomic snapshot.
+    Choosing the horizon is deliberately the CALLER's judgment: the
+    table cannot know what an external source may still deliver.
 
-    Scale: one metadata-light filter scan to find affected buckets,
-    then a rewrite of only those buckets.
+    MOR tables must fold their deltas first (:func:`compact_buckets`) —
+    a purge can only reclaim what lives in BASE files, and reporting
+    success while delta tombstones re-resolve on the next read would be
+    a silent no-op for a retention/compliance caller, so outstanding
+    deltas raise instead.
+
+    Scale: one filter scan to find affected buckets, then a
+    manifest-pruned rewrite of only those buckets.
     """
     snap = table.snapshot()
     key = snap["key_col"]
     num_buckets = int(snap["num_buckets"])
-    base = table.read(spark, with_seq=True, with_tombstones=True).withColumn(
-        "_b", F.pmod(F.hash(F.col(key)), F.lit(num_buckets)).cast("int")
+    outstanding = sorted(
+        int(b) for b, fl in (snap.get("deltas") or {}).items() if fl
     )
+    if outstanding:
+        raise ValueError(
+            f"purge_tombstones: buckets {outstanding} have unfolded delta "
+            f"files — run compact_buckets first (a purge only reclaims "
+            f"BASE rows; delta tombstones would re-resolve on the next "
+            f"read while this call reported success)"
+        )
+    bexpr = F.pmod(F.hash(F.col(key)), F.lit(num_buckets)).cast("int")
     dead = F.col("_tombstone") & (F.col("_seq") <= int(horizon_seq))
     todo = sorted(
         r["_b"]
-        for r in base.filter(dead).select("_b").distinct().collect()
+        for r in table.read(spark, with_seq=True, with_tombstones=True)
+        .filter(dead)
+        .select(bexpr.alias("_b"))
+        .distinct()
+        .collect()
     )
     if not todo:
         return {"purged_buckets": 0, "version": int(snap["version"])}
     version = int(snap["version"]) + 1
-    out_rel = os.path.join("data", f"c{version}")
-    out_dir = os.path.join(table.root, out_rel)
+    out_dir = os.path.join(table.root, "data", f"c{version}")
     (
-        base.filter(F.col("_b").isin([int(b) for b in todo]) & ~dead)
+        # manifest-pruned: only the affected buckets' files are scanned
+        # for the rewrite (the discovery scan above is the one full pass)
+        table.read(spark, buckets=todo, with_seq=True, with_tombstones=True)
+        .filter(~dead)
+        .withColumn("_b", bexpr)
         .repartition(max(1, len(todo)), "_b")
         .write.mode("overwrite")
         .partitionBy("_b")
         .parquet(out_dir)
     )
     files = {int(b): fl for b, fl in snap["files"].items()}
-    for b in todo:
-        paths = sorted(glob.glob(os.path.join(out_dir, f"_b={b}", "*.parquet")))
-        rel = [os.path.relpath(p, table.root) for p in paths]
+    for b, rel in _written_bucket_files(table, out_dir, todo).items():
         if rel:
-            files[int(b)] = rel
+            files[b] = rel
         else:
-            files.pop(int(b), None)  # bucket held only purged tombstones
+            files.pop(b, None)  # bucket held only purged tombstones
     snap["version"] = version
     snap["files"] = {str(b): fl for b, fl in sorted(files.items())}
     snap["lineage"].append(
@@ -699,12 +731,13 @@ def rebucket(
         .partitionBy("_b")
         .parquet(out_dir)
     )
-    files: dict[int, list[str]] = {}
-    for b in range(int(new_num_buckets)):
-        paths = sorted(glob.glob(os.path.join(out_dir, f"_b={b}", "*.parquet")))
-        rel = [os.path.relpath(p, table.root) for p in paths]
-        if rel:
-            files[b] = rel
+    files = {
+        b: rel
+        for b, rel in _written_bucket_files(
+            table, out_dir, list(range(int(new_num_buckets)))
+        ).items()
+        if rel
+    }
     old_wms = [int(w) for w in snap["watermarks"].values()]
     floor_wm = min(old_wms) if old_wms else None
     snap["version"] = version

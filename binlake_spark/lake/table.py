@@ -263,9 +263,11 @@ class LakeTable:
         dedup).  ``version`` time-travels to an earlier, unexpired snapshot.
 
         Merge-on-read: buckets with outstanding delta files are resolved
-        here — base ∪ deltas reduced to the max-``_seq`` row per key with
-        tombstones dropped (one LWW aggregation over just those buckets).
-        Buckets without deltas take the zero-overhead base-only path.
+        here — base ∪ deltas reduced to the max-``_seq`` row per key,
+        delete winners surfacing as tombstones (filtered or exposed per
+        ``with_tombstones``; one LWW aggregation over just those
+        buckets).  Buckets without deltas take the zero-overhead
+        base-only path.
 
         ``with_tombstones`` (internal, implies ``with_seq`` use sites):
         exposes DELETE TOMBSTONE rows (``_tombstone=true``; data columns

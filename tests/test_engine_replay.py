@@ -479,6 +479,35 @@ def test_purge_tombstones_reclaims_below_horizon(spark, tmp_path):
     assert out2["purged_buckets"] == 0
 
 
+def test_purge_tombstones_refuses_unfolded_deltas(spark, tmp_path):
+    """A purge can only reclaim BASE rows — on a MOR table with
+    outstanding delta files it must raise (reporting success while the
+    delta tombstones re-resolve on the next read would be a silent
+    no-op for a retention/compliance caller), and succeed after
+    compaction folds them down."""
+    from pyspark.sql import functions as F
+
+    from binlake_spark.changelog.generator import CHANGE_LOG_SCHEMA
+    from binlake_spark.lake.merge import compact_buckets, purge_tombstones
+
+    pdf = generate_change_log(GenSpec(n_docs=20, n_events=400))
+    src = str(tmp_path / "log")
+    write_change_log(pdf, src)
+    table = CdcEngine.create_table(str(tmp_path / "docs"), num_buckets=4)
+    engine = CdcEngine(table, mode="mor")
+    engine.run_batch_replay(spark, src)
+    assert any(fl for fl in table.snapshot().get("deltas", {}).values())
+    with pytest.raises(ValueError, match="compact_buckets first"):
+        purge_tombstones(spark, table, horizon_seq=int(pdf["seq"].max()))
+    compact_buckets(spark, table)
+    live = engine.read_state(spark).count()
+    out = purge_tombstones(spark, table, horizon_seq=int(pdf["seq"].max()))
+    assert out["purged_buckets"] > 0
+    assert engine.read_state(spark).count() == live
+    raw = table.read(spark, with_seq=True, with_tombstones=True)
+    assert raw.filter(F.col("_tombstone")).count() == 0
+
+
 @pytest.mark.parametrize("mode", ["cow", "mor"])
 def test_delete_tombstone_fences_stale_upsert(spark, tmp_path, mode):
     """The distilled resurrection case (red pre-tombstones, bit-exact
