@@ -1013,6 +1013,43 @@ def cdc_engine_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("cdc_reordered_replay", _REPLAY_ORACLE_SQL)
+def cdc_reordered_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-REORDERING witness for the delete-tombstone contract
+    (SURVEY §10.17): the shared log's epoch files are applied
+    pairwise-SWAPPED (epoch k+1's batch before epoch k's — the order a
+    file stream can legitimately deliver after a resume when mtimes
+    collide), yet the final table must hash-match the SAME
+    order-independent LWW oracle as `cdc_engine_replay`.  Pre-tombstone
+    this resurrected docs whose delete landed in the later file of a
+    swapped pair; persisted tombstones make per-row LWW total, so the
+    reordered replay converges to the identical state."""
+    import glob as _glob
+    import tempfile
+
+    from binlake_spark.changelog.generator import CHANGE_LOG_SCHEMA
+    from binlake_spark.streaming import CdcEngine
+
+    src = _shared_log(sf_dir)
+    files = sorted(_glob.glob(f"{src}/epoch-*.parquet"))
+    order: list[int] = []
+    for i in range(0, len(files) - 1, 2):
+        order += [i + 1, i]
+    if len(files) % 2:
+        order.append(len(files) - 1)
+    work = tempfile.mkdtemp(prefix="binlake_driver_reorder_")
+    table = CdcEngine.create_table(f"{work}/docs", num_buckets=16)
+    engine = CdcEngine(table)
+    for eid, fidx in enumerate(order):
+        engine.apply_batch(
+            spark.read.schema(CHANGE_LOG_SCHEMA).parquet(files[fidx]),
+            epoch_id=eid,
+        )
+    return engine.read_state(spark).select(
+        "doc_id", "n_tok", "source", "lang", _tokens_sig()
+    )
+
+
 _POINT_LOOKUP_ORACLE_SQL = f"""
     WITH log AS ({_SHARED_LOG_SQL}),
     valid AS (
@@ -3763,6 +3800,11 @@ _DEMOTED_TO_EXTRA = {
     "mm_frame_sample": "frame sampling shares the Arrow batch plumbing"
     " driver-witnessed by mm_features_exact + mm_payload_stats — rotated"
     " out r5 (still a bench HEADLINE key)",
+    "cdc_schema_evolution": "additive evolution is driver-witnessed"
+    " inside every engine replay (evolution_at fires mid-log in"
+    " cdc_engine_replay/_mor/_reordered and cdc_snapshot_handoff) and"
+    " by cdc_ddl_evolution's ALTER application — rotated out r5 to"
+    " admit cdc_reordered_replay, the tombstoned-LWW reordering witness",
 }
 for _n in _DEMOTED_TO_EXTRA:
     EXTRA_QUERIES[_n] = QUERIES.pop(_n)
