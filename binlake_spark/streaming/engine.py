@@ -674,6 +674,22 @@ class CdcEngine:
     def lineage(self, spark: SparkSession) -> DataFrame:
         return self.table.lineage_df(spark)
 
+    def purge_tombstones(self, spark: SparkSession, horizon_seq: int) -> dict:
+        """Maintenance entry for tombstone retention (lake/merge.py
+        `purge_tombstones`): reclaim delete tombstones at/below
+        ``horizon_seq``.  MOR mode folds outstanding deltas first
+        (`compact_buckets`) — a purge only reclaims BASE rows, and the
+        underlying op refuses unfolded deltas rather than reporting a
+        reclamation that delta rows would immediately re-resolve.  The
+        horizon is deliberately the caller's judgment: pick a seq no
+        replay or retransmit can reach below (e.g. the committed low
+        watermark after checkpoint expiry)."""
+        from binlake_spark.lake.merge import compact_buckets, purge_tombstones
+
+        if self.mode == "mor":
+            compact_buckets(spark, self.table)
+        return purge_tombstones(spark, self.table, horizon_seq)
+
 
 def default_table_root(base: str) -> str:
     return os.path.join(base, "docs_table")

@@ -558,3 +558,25 @@ def test_delete_tombstone_fences_stale_upsert(spark, tmp_path, mode):
     raw = table.read(spark, with_seq=True, with_tombstones=True)
     tomb = raw.filter(F.col("_tombstone")).collect()
     assert [(t.doc_id, t._seq) for t in tomb] == [("doc-a", 4)]
+
+
+def test_engine_purge_entry_folds_mor_first(spark, tmp_path):
+    """CdcEngine.purge_tombstones: COW delegates straight through; MOR
+    compacts outstanding deltas first so the purge always operates on
+    base rows (the underlying op refuses unfolded deltas)."""
+    from pyspark.sql import functions as F
+
+    pdf = generate_change_log(GenSpec(n_docs=20, n_events=400))
+    src = str(tmp_path / "log")
+    write_change_log(pdf, src)
+    horizon = int(pdf["seq"].max())
+    for mode in ("cow", "mor"):
+        table = CdcEngine.create_table(str(tmp_path / mode), num_buckets=4)
+        engine = CdcEngine(table) if mode == "cow" else CdcEngine(table, mode="mor")
+        engine.run_batch_replay(spark, src)
+        live = engine.read_state(spark).count()
+        out = engine.purge_tombstones(spark, horizon_seq=horizon)
+        assert out["purged_buckets"] > 0, mode
+        assert engine.read_state(spark).count() == live
+        raw = table.read(spark, with_seq=True, with_tombstones=True)
+        assert raw.filter(F.col("_tombstone")).count() == 0, mode
