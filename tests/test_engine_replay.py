@@ -392,8 +392,13 @@ def test_snapshot_bootstrap_full_replay_converges_via_fence(spark, tmp_path):
     assert_state_equals_oracle(spark, engine, pdf)
 
 
-@pytest.mark.parametrize("mode", ["cow", "mor"])
-def test_out_of_order_epoch_batches_keep_deletes(spark, tmp_path, mode):
+@pytest.mark.parametrize("mode,order_kind", [
+    ("cow", "pairwise"), ("mor", "pairwise"),
+    ("cow", "reversed"), ("mor", "reversed"),
+])
+def test_out_of_order_epoch_batches_keep_deletes(
+    spark, tmp_path, mode, order_kind
+):
     """Exactly-once under batch REORDERING: pairwise-swapped epoch files
     applied as sequential epochs must still land the oracle state.
 
@@ -427,11 +432,16 @@ def test_out_of_order_epoch_batches_keep_deletes(spark, tmp_path, mode):
 
     src = str(tmp_path / "log")
     files = sorted(write_change_log(pdf, src))
-    order = []
-    for i in range(0, len(files) - 1, 2):
-        order += [i + 1, i]  # every adjacent pair applied wrong-way
-    if len(files) % 2:
-        order.append(len(files) - 1)
+    if order_kind == "reversed":
+        # worst case: EVERY batch arrives before every batch that should
+        # precede it — each doc's full history replays newest-first
+        order = list(range(len(files)))[::-1]
+    else:
+        order = []
+        for i in range(0, len(files) - 1, 2):
+            order += [i + 1, i]  # every adjacent pair applied wrong-way
+        if len(files) % 2:
+            order.append(len(files) - 1)
 
     table = CdcEngine.create_table(str(tmp_path / "docs"), num_buckets=8)
     engine = CdcEngine(table) if mode == "cow" else CdcEngine(
