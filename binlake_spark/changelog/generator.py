@@ -222,6 +222,20 @@ def to_spark(spark, pdf: pd.DataFrame):
     return spark.createDataFrame(p, CHANGE_LOG_SCHEMA)
 
 
+def pairwise_swapped_order(n: int) -> list[int]:
+    """[1,0,3,2,...] — every adjacent pair applied wrong-way round, the
+    canonical mtime-tie reordering a file stream can produce after a
+    resume.  Shared by the reorder replay test and the
+    ``cdc_reordered_replay`` driver oracle so both exercise the same
+    contract."""
+    order: list[int] = []
+    for i in range(0, n - 1, 2):
+        order += [i + 1, i]
+    if n % 2:
+        order.append(n - 1)
+    return order
+
+
 def write_change_log(
     pdf: pd.DataFrame, out_dir: str, row_group_size: int = 32_768
 ) -> list[str]:
@@ -241,8 +255,11 @@ def write_change_log(
     order.  The engine survives that (delete tombstones + per-row LWW),
     but the fixture should still present the order a live source would.
     Stamps are BACKDATED (last file ≈ now, earlier files in the past) so
-    no file ever carries a future mtime — a later write into the same
-    directory must always sort after these."""
+    no file ever carries a future mtime.  Single-writer-per-directory is
+    assumed (every caller writes a fresh dir): a SECOND call into the
+    same directory would backdate its own early epochs before this
+    call's files — appending to a live spool is ``spool_dump``'s job,
+    whose monotone-cursor stamps do order across calls."""
     os.makedirs(out_dir, exist_ok=True)
     groups = list(pdf.groupby("epoch_hint", sort=True))
     paths = []

@@ -536,6 +536,7 @@ def compact_buckets(
     spark: SparkSession,
     table: LakeTable,
     min_deltas: int = 1,
+    tombstone_horizon: int | None = None,
 ) -> dict:
     """Fold merge-on-read deltas into the base (the maintenance half of
     MOR — Iceberg's ``rewrite_data_files`` analog): buckets carrying at
@@ -544,8 +545,15 @@ def compact_buckets(
     rows — dropping them would let a reordered stale upsert resurrect
     the doc one compaction later) and rewritten; their delta list
     empties in the same atomic snapshot.  Amortized cost equals what COW
-    would have paid spread over the delta window; tombstone rows are
-    reclaimed separately by :func:`purge_tombstones`.
+    would have paid spread over the delta window.
+
+    ``tombstone_horizon``: fuse the retention pass into this rewrite —
+    tombstones with ``_seq <= horizon`` are dropped from the compacted
+    output, so a maintenance cycle pays ONE rewrite per delta bucket
+    instead of compact-then-purge rewriting the same buckets twice.
+    Buckets without deltas are untouched here; sweep those with
+    :func:`purge_tombstones` (already-compacted buckets no longer carry
+    dead tombstones and are skipped by its discovery scan).
     """
     snap = table.snapshot()
     todo = sorted(
@@ -556,13 +564,17 @@ def compact_buckets(
     # delete winners fold into the base AS TOMBSTONES — dropping them
     # here would let a stale upsert from a reordered/replayed batch
     # resurrect the doc right after compaction (reads filter them;
-    # purge_tombstones reclaims them under an explicit horizon)
+    # the explicit horizon below / purge_tombstones reclaims them)
     resolved = table.read(
         spark, buckets=todo, with_seq=True, with_tombstones=True
     ).withColumn(
         "_b",
         F.pmod(F.hash(F.col(snap["key_col"])), F.lit(snap["num_buckets"])).cast("int"),
     )
+    if tombstone_horizon is not None:
+        resolved = resolved.filter(
+            ~(F.col("_tombstone") & (F.col("_seq") <= int(tombstone_horizon)))
+        )
     version = snap["version"] + 1
     out_rel = os.path.join("data", f"c{version}")
     out_dir = os.path.join(table.root, out_rel)
@@ -591,10 +603,12 @@ def compact_buckets(
 def _written_bucket_files(
     table: LakeTable, out_dir: str, buckets: list[int]
 ) -> dict[int, list[str]]:
-    """Post-write manifest collection shared by the rewrite ops
-    (merge/compact/rebucket/purge all commit this way): the
-    root-relative parquet paths under ``out_dir/_b=<b>`` for each
-    bucket, empty list when the rewrite left the bucket with no rows."""
+    """Post-write manifest collection shared by the bucket-rewrite
+    maintenance ops (compact/rebucket/purge; merge_into and
+    bootstrap_snapshot keep their own loops fused with footer-stat
+    collection): the root-relative parquet paths under
+    ``out_dir/_b=<b>`` for each bucket, empty list when the rewrite
+    left the bucket with no rows."""
     out: dict[int, list[str]] = {}
     for b in buckets:
         paths = sorted(glob.glob(os.path.join(out_dir, f"_b={b}", "*.parquet")))

@@ -1027,16 +1027,15 @@ def cdc_reordered_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob as _glob
     import tempfile
 
-    from binlake_spark.changelog.generator import CHANGE_LOG_SCHEMA
+    from binlake_spark.changelog.generator import (
+        CHANGE_LOG_SCHEMA,
+        pairwise_swapped_order,
+    )
     from binlake_spark.streaming import CdcEngine
 
     src = _shared_log(sf_dir)
     files = sorted(_glob.glob(f"{src}/epoch-*.parquet"))
-    order: list[int] = []
-    for i in range(0, len(files) - 1, 2):
-        order += [i + 1, i]
-    if len(files) % 2:
-        order.append(len(files) - 1)
+    order = pairwise_swapped_order(len(files))
     work = tempfile.mkdtemp(prefix="binlake_driver_reorder_")
     table = CdcEngine.create_table(f"{work}/docs", num_buckets=16)
     engine = CdcEngine(table)

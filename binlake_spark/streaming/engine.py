@@ -677,17 +677,19 @@ class CdcEngine:
     def purge_tombstones(self, spark: SparkSession, horizon_seq: int) -> dict:
         """Maintenance entry for tombstone retention (lake/merge.py
         `purge_tombstones`): reclaim delete tombstones at/below
-        ``horizon_seq``.  MOR mode folds outstanding deltas first
-        (`compact_buckets`) — a purge only reclaims BASE rows, and the
-        underlying op refuses unfolded deltas rather than reporting a
-        reclamation that delta rows would immediately re-resolve.  The
-        horizon is deliberately the caller's judgment: pick a seq no
-        replay or retransmit can reach below (e.g. the committed low
-        watermark after checkpoint expiry)."""
+        ``horizon_seq``.  MOR mode folds outstanding deltas first with
+        the retention pass FUSED into the compaction rewrite
+        (`compact_buckets(tombstone_horizon=...)`) — one rewrite per
+        delta bucket, not compact-then-purge rewriting the same buckets
+        twice; the purge then sweeps only delta-free buckets still
+        carrying dead tombstones.  The horizon is deliberately the
+        caller's judgment: pick a seq no replay or retransmit can reach
+        below (e.g. the committed low watermark after checkpoint
+        expiry)."""
         from binlake_spark.lake.merge import compact_buckets, purge_tombstones
 
         if self.mode == "mor":
-            compact_buckets(spark, self.table)
+            compact_buckets(spark, self.table, tombstone_horizon=horizon_seq)
         return purge_tombstones(spark, self.table, horizon_seq)
 
 

@@ -437,11 +437,9 @@ def test_out_of_order_epoch_batches_keep_deletes(
         # precede it — each doc's full history replays newest-first
         order = list(range(len(files)))[::-1]
     else:
-        order = []
-        for i in range(0, len(files) - 1, 2):
-            order += [i + 1, i]  # every adjacent pair applied wrong-way
-        if len(files) % 2:
-            order.append(len(files) - 1)
+        from binlake_spark.changelog.generator import pairwise_swapped_order
+
+        order = pairwise_swapped_order(len(files))
 
     table = CdcEngine.create_table(str(tmp_path / "docs"), num_buckets=8)
     engine = CdcEngine(table) if mode == "cow" else CdcEngine(
@@ -571,9 +569,11 @@ def test_delete_tombstone_fences_stale_upsert(spark, tmp_path, mode):
 
 
 def test_engine_purge_entry_folds_mor_first(spark, tmp_path):
-    """CdcEngine.purge_tombstones: COW delegates straight through; MOR
-    compacts outstanding deltas first so the purge always operates on
-    base rows (the underlying op refuses unfolded deltas)."""
+    """CdcEngine.purge_tombstones: COW delegates straight through (the
+    purge sweep rewrites the dead buckets); MOR fuses the retention
+    pass INTO the delta compaction — one rewrite per delta bucket — so
+    the trailing sweep finds nothing left to purge.  Both modes end
+    with zero tombstones and an unchanged logical table."""
     from pyspark.sql import functions as F
 
     pdf = generate_change_log(GenSpec(n_docs=20, n_events=400))
@@ -586,7 +586,14 @@ def test_engine_purge_entry_folds_mor_first(spark, tmp_path):
         engine.run_batch_replay(spark, src)
         live = engine.read_state(spark).count()
         out = engine.purge_tombstones(spark, horizon_seq=horizon)
-        assert out["purged_buckets"] > 0, mode
+        if mode == "cow":
+            assert out["purged_buckets"] > 0
+        else:
+            # the fused compact(tombstone_horizon=...) already reclaimed
+            # every dead tombstone; the sweep must confirm-as-no-op, not
+            # rewrite the same buckets a second time
+            assert out["purged_buckets"] == 0
+            assert table.snapshot().get("deltas", {}) == {}
         assert engine.read_state(spark).count() == live
         raw = table.read(spark, with_seq=True, with_tombstones=True)
         assert raw.filter(F.col("_tombstone")).count() == 0, mode
