@@ -28,9 +28,11 @@ from binlake_spark.lake.table import LakeTable
 from binlake_spark.streaming import CdcEngine
 
 import numpy as np
+import pytest
 
 
-def test_sigkill_mid_stream_then_resume(spark, tmp_path):
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_sigkill_mid_stream_then_resume(spark, tmp_path, mode):
     spec = GenSpec(
         n_docs=80, n_events=2000, events_per_epoch=200,
         retransmit_frac=0.1, evolution_at=1000,
@@ -50,7 +52,8 @@ def test_sigkill_mid_stream_then_resume(spark, tmp_path):
         from binlake_spark.lake.table import LakeTable
         from binlake_spark.streaming import CdcEngine
         spark = get_spark("kill9_child", cpus=2, shuffle_partitions=2)
-        engine = CdcEngine(LakeTable({repr(root)}))
+        engine = CdcEngine(LakeTable({repr(root)}), mode={repr(mode)},
+                           mor_compact_every=3)
         engine.run_stream(spark, {repr(src)}, {repr(ckpt)}, max_files_per_trigger=1)
         """
     )
@@ -77,8 +80,11 @@ def test_sigkill_mid_stream_then_resume(spark, tmp_path):
             proc.kill()
 
     killed_at = table.last_epoch("cdc")
-    # resume in THIS process from the same checkpoint and drain
-    engine = CdcEngine(table)
+    # resume in THIS process from the same checkpoint and drain — MOR
+    # resumes with outstanding deltas and periodic tombstone-retaining
+    # compaction straddling the kill point
+    engine = (CdcEngine(table) if mode == "cow"
+              else CdcEngine(table, mode="mor", mor_compact_every=3))
     engine.run_stream(spark, src, ckpt, max_files_per_trigger=1)
     assert table.last_epoch("cdc") > killed_at
 
