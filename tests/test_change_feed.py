@@ -453,3 +453,42 @@ def test_feed_replication_survives_seq_regression(spark, tmp_path):
     assert reader.apply_to(spark, dst).applied
     got = {r.doc_id: (r.tokens, r.source) for r in dst.read(spark).collect()}
     assert got == {"a": ([9], "books")}  # the regressed image replicated
+
+
+def test_feed_sees_no_changes_across_purge(spark, tmp_path):
+    """Tombstone maintenance is invisible to consumers: a purge commit
+    rewrites bucket files (so changed_buckets flags them — an allowed
+    false positive), but the row-level diff across it must be EMPTY and
+    a feed consumer polling over it must see nothing to apply."""
+    from pyspark.sql import functions as F
+
+    from binlake_spark.changelog.generator import CHANGE_LOG_SCHEMA
+    from binlake_spark.lake import ChangeFeedReader, purge_tombstones
+    from binlake_spark.changelog import GenSpec, generate_change_log, write_change_log
+    from binlake_spark.streaming import CdcEngine
+
+    pdf = generate_change_log(GenSpec(n_docs=30, n_events=900))
+    src_dir = str(tmp_path / "log")
+    write_change_log(pdf, src_dir)
+    table = CdcEngine.create_table(str(tmp_path / "docs"), num_buckets=4)
+    engine = CdcEngine(table)
+    engine.run_batch_replay(spark, src_dir)
+    v_before = int(table.snapshot()["version"])
+    assert (
+        table.read(spark, with_seq=True, with_tombstones=True)
+        .filter(F.col("_tombstone")).count() > 0
+    )
+
+    out = purge_tombstones(spark, table, horizon_seq=int(pdf["seq"].max()))
+    assert out["purged_buckets"] > 0
+    v_after = int(table.snapshot()["version"])
+
+    # manifest-level: the purged buckets ARE flagged (rewrite = new files)
+    assert table.changed_buckets(v_before, v_after)
+    # row-level: the diff across the purge commit is empty
+    assert table.read_changes(spark, v_before, v_after).count() == 0
+    # consumer-level: a reader caught up to v_before has nothing to apply
+    dst = CdcEngine.create_table(str(tmp_path / "dst"), num_buckets=4)
+    reader = ChangeFeedReader(table, consumer_id="purge-watch")
+    assert reader.apply_to(spark, dst) is not None  # catches up the data
+    assert reader.apply_to(spark, dst) is None      # ...then sees nothing
